@@ -1,0 +1,105 @@
+"""Host-side data loader with threaded prefetch.
+
+Replaces torch's DataLoader (reference `src/data/base_datamodule.py:104-126`).
+Dataset __getitem__ work (h5 slicing, numpy transforms, voxel hashing) is
+numpy-bound and largely releases the GIL, so a thread pool pipelines sample
+construction and collation ahead of the accelerator without multiprocessing.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Callable, Iterator
+
+import numpy as np
+
+from pointcloudmatters_tpu.data.collate import default_collate
+
+
+class DataLoader:
+    def __init__(
+        self,
+        dataset,
+        batch_size: int = 1,
+        shuffle: bool = False,
+        num_workers: int = 0,
+        collate_fn: Callable | None = None,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch_batches: int = 2,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = num_workers
+        self.collate_fn = collate_fn or default_collate
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch_batches = max(1, prefetch_batches)
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return -(-n // self.batch_size)
+
+    def _index_batches(self) -> list[np.ndarray]:
+        idx = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState((self.seed + self.epoch) % (2**31))
+            rng.shuffle(idx)
+        batches = [
+            idx[i : i + self.batch_size]
+            for i in range(0, len(idx), self.batch_size)
+        ]
+        if self.drop_last and batches and len(batches[-1]) < self.batch_size:
+            batches.pop()
+        return batches
+
+    def _make_batch(self, indices: np.ndarray):
+        return self.collate_fn([self.dataset[int(i)] for i in indices])
+
+    def __iter__(self) -> Iterator:
+        batches = self._index_batches()
+        self.epoch += 1
+        if self.num_workers <= 0:
+            for b in batches:
+                yield self._make_batch(b)
+            return
+        # pipelined prefetch: workers build whole batches ahead of consumption
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def producer():
+            with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
+                futures = [pool.submit(self._make_batch, b) for b in batches]
+                for fut in futures:
+                    if stop.is_set():
+                        for f in futures:
+                            f.cancel()
+                        return
+                    try:
+                        q.put(("ok", fut.result()))
+                    except Exception as e:  # propagate to consumer
+                        q.put(("err", e))
+                        return
+            q.put(("done", None))
+
+        thread = threading.Thread(target=producer, daemon=True)
+        thread.start()
+        try:
+            while True:
+                kind, payload = q.get()
+                if kind == "done":
+                    return
+                if kind == "err":
+                    raise payload
+                yield payload
+        finally:
+            stop.set()
