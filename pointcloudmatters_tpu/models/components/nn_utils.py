@@ -1,0 +1,176 @@
+"""Shared NN building blocks for the TPU model stack.
+
+Key departure from the reference: every module here is padded-native. The
+reference operates on packed variable-length tensors (CUDA-friendly); on TPU
+we carry fixed shapes plus validity masks, so normalization layers must
+exclude padding slots from their statistics. ``MaskedBatchNorm`` is the
+workhorse replacing ``nn.BatchNorm1d`` (reference
+`src/models/components/pcd_encoder/pointnet.py:29`,
+`src/models/components/act/act.py:371`).
+
+Cross-replica ("sync") batch norm — the reference's
+``sync_batchnorm: true`` under DDP (`configs/trainer/ddp.yaml:8`) — falls out
+of passing ``axis_name``: the masked sums/counts are ``psum``-ed over the
+device mesh, which is both exact and cheap on ICI.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+Dtype = Any
+
+
+def get_sinusoid_encoding_table(n_position: int, d_hid: int) -> jnp.ndarray:
+    """(1, n_position, d_hid) interleaved sin/cos table
+    (reference `act/utils.py:41-55`)."""
+    position = np.arange(n_position)[:, None]
+    hid_j = np.arange(d_hid)[None, :]
+    angle = position / np.power(10000, 2 * (hid_j // 2) / d_hid)
+    table = np.where(hid_j % 2 == 0, np.sin(angle), np.cos(angle))
+    return jnp.asarray(table[None], jnp.float32)
+
+
+def reparametrize(mu: jax.Array, logvar: jax.Array, rng: jax.Array) -> jax.Array:
+    """VAE reparameterization, std = exp(logvar/2) (`act/utils.py:35-38`)."""
+    std = jnp.exp(0.5 * logvar)
+    eps = jax.random.normal(rng, std.shape, std.dtype)
+    return mu + std * eps
+
+
+def activation_fn(name: str) -> Callable[[jax.Array], jax.Array]:
+    """Activation registry mirroring `act/transformer.py:417-425`."""
+    table = {
+        "relu": jax.nn.relu,
+        "gelu": jax.nn.gelu,
+        "glu": jax.nn.glu,
+        "silu": jax.nn.silu,
+        "mish": lambda x: x * jnp.tanh(jax.nn.softplus(x)),
+    }
+    if name not in table:
+        raise RuntimeError(f"activation should be one of {sorted(table)}, not {name}.")
+    return table[name]
+
+
+class MaskedBatchNorm(nn.Module):
+    """Batch norm over valid elements only, torch-semantics.
+
+    - normalization uses biased variance; running stats store the unbiased
+      variance (matching ``torch.nn.BatchNorm1d``)
+    - ``momentum`` is the torch convention: ``new = (1-m)*old + m*batch``
+    - ``mask`` (broadcastable to ``x.shape[:-1]``) excludes padding slots from
+      the statistics; padded activations still get normalized (they are
+      ignored downstream anyway)
+    - ``axis_name`` makes the statistics cross-replica exact (psum of sums and
+      counts) — the TPU-native equivalent of Lightning's sync_batchnorm.
+    """
+
+    momentum: float = 0.1
+    eps: float = 1e-5
+    axis_name: Optional[str] = None
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        mask: Optional[jax.Array] = None,
+        use_running_average: bool = True,
+    ) -> jax.Array:
+        features = x.shape[-1]
+        ra_mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        )
+        ra_var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        )
+        scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
+        bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
+
+        if use_running_average:
+            mean, var = ra_mean.value, ra_var.value
+        else:
+            xf = x.astype(jnp.float32)
+            reduce_axes = tuple(range(x.ndim - 1))
+            if mask is None:
+                count = jnp.asarray(np.prod(x.shape[:-1]), jnp.float32)
+                total = jnp.sum(xf, axis=reduce_axes)
+                total_sq = jnp.sum(xf * xf, axis=reduce_axes)
+            else:
+                m = jnp.broadcast_to(
+                    mask.astype(jnp.float32)[..., None], x.shape
+                )
+                count = jnp.sum(m[..., 0])
+                total = jnp.sum(xf * m, axis=reduce_axes)
+                total_sq = jnp.sum(xf * xf * m, axis=reduce_axes)
+            if self.axis_name is not None:
+                total = jax.lax.psum(total, self.axis_name)
+                total_sq = jax.lax.psum(total_sq, self.axis_name)
+                count = jax.lax.psum(count, self.axis_name)
+            count = jnp.maximum(count, 1.0)
+            mean = total / count
+            var = jnp.maximum(total_sq / count - mean * mean, 0.0)  # biased
+            if not self.is_initializing():
+                unbiased = var * count / jnp.maximum(count - 1.0, 1.0)
+                ra_mean.value = (
+                    (1.0 - self.momentum) * ra_mean.value + self.momentum * mean
+                )
+                ra_var.value = (
+                    (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
+                )
+
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class FrozenBatchNorm(nn.Module):
+    """BatchNorm with constant (non-trainable, non-updating) statistics and
+    affine params — reference ``FrozenBatchNorm2d`` (`act/backbone.py:23-58`).
+
+    Parameters live in the ``batch_stats`` collection so the optimizer never
+    sees them; weight-porting utilities overwrite them directly.
+    """
+
+    eps: float = 1e-5
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        features = x.shape[-1]
+        mean = self.variable(
+            "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
+        ).value
+        var = self.variable(
+            "batch_stats", "var", lambda: jnp.ones((features,), jnp.float32)
+        ).value
+        scale = self.variable(
+            "batch_stats", "scale", lambda: jnp.ones((features,), jnp.float32)
+        ).value
+        bias = self.variable(
+            "batch_stats", "bias", lambda: jnp.zeros((features,), jnp.float32)
+        ).value
+        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale + bias
+        return y.astype(self.dtype or x.dtype)
+
+
+class MLP(nn.Module):
+    """Simple ReLU MLP head (DETR-style)."""
+
+    hidden_dim: int
+    output_dim: int
+    num_layers: int
+    dtype: Optional[Dtype] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array) -> jax.Array:
+        for i in range(self.num_layers - 1):
+            x = nn.Dense(self.hidden_dim, dtype=self.dtype)(x)
+            x = jax.nn.relu(x)
+        return nn.Dense(self.output_dim, dtype=self.dtype)(x)

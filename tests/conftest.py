@@ -6,12 +6,18 @@ XLA's host-platform device virtualization instead.
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# The sandbox env pins JAX_PLATFORMS to the TPU tunnel; override it hard —
+# a plain setdefault would silently leave tests running over the tunnel.
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys
