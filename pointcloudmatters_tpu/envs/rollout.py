@@ -1,0 +1,187 @@
+"""Closed-loop simulator rollout validation for ManiSkill2 policies.
+
+Host-side loop mirroring the reference validation protocol
+(`src/models/maniskill2_act_bc_module.py:120-323`): episodes seeded
+``10240 + idx``, TurnFaucet's 10 held-out faucet models x 40 episodes,
+PegInsertionSide grasp/align sub-metrics, per-step observation construction
+that re-runs the dataset's point-cloud pipeline in test mode, TemporalAgg
+chunk ensembling, and z-score action unnormalization.
+
+The simulator stays a CPU host process (SAPIEN); the policy side is a jitted
+apply fed fixed-shape padded batches so the TPU never recompiles between
+steps. The env is anything with the gymnasium 5-tuple step contract —
+SURVEY §4's fake-env seam makes this loop testable without SAPIEN.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+import numpy as np
+
+from pointcloudmatters_tpu.data.collate import pad_point_clouds
+from pointcloudmatters_tpu.utils.misc import TemporalAgg
+from pointcloudmatters_tpu.utils.pylogger import RankedLogger
+
+log = RankedLogger(__name__, rank_zero_only=True)
+
+TURN_FAUCET_MODELS = [
+    "5002", "5021", "5023", "5028", "5029",
+    "5045", "5047", "5051", "5056", "5063",
+]
+
+
+def build_act_obs(obs: dict, dataset, pad_multiple: int = 512) -> dict:
+    """Build a batch-of-1 policy input from a raw env observation, reusing the
+    train dataset's normalization stats and pcd transforms in test mode
+    (`maniskill2_act_bc_module.py:164-271`)."""
+    qpos = np.asarray(obs["agent"]["qpos"], np.float32)
+    qpos = (qpos - dataset.norm_stats["qpos_mean"]) / dataset.norm_stats["qpos_std"]
+    data = {"qpos": qpos[None].astype(np.float32)}
+
+    goal = dataset.get_goal(obs) if dataset.goal_cond_keys else None
+    if goal is not None:
+        data["goal_cond"] = np.asarray(goal, np.float32).reshape(1, -1)
+
+    if "image" in obs:
+        images = []
+        for cam in getattr(dataset, "camera_names", list(obs["image"])):
+            img = np.asarray(obs["image"][cam]["rgb"], np.float32) / 255.0
+            if getattr(dataset, "include_depth", False):
+                depth = np.asarray(obs["image"][cam]["depth"], np.float32)
+                img = np.concatenate([img, depth], axis=-1)
+            images.append(img)
+        data["image"] = np.stack(images)[None]  # (1, ncam, H, W, C) NHWC
+    elif "pointcloud" in obs:
+        side = int(round(dataset.point_num_per_cam ** 0.5))
+        coords = np.asarray(obs["pointcloud"]["xyzw"], np.float32).reshape(
+            -1, side, side, 4
+        )[dataset.camera_ids].copy()
+        if getattr(dataset, "pointmap", False):
+            colors = np.asarray(obs["pointcloud"]["rgb"], np.float32).reshape(
+                -1, side, side, 3
+            )[dataset.camera_ids] / 255.0
+            colors[coords[..., -1] == 0] = 0
+            coords[coords[..., -1] == 0] = 0
+            image = np.concatenate([colors, coords[..., :3]], axis=-1)
+            data["image"] = image[None].astype(np.float32)
+        else:
+            if getattr(dataset, "rand_crop", False):
+                crop = int(side * 112 / 128)
+                s = (side - crop) // 2  # center crop at eval
+                coords[:, :s] = 0
+                coords[:, s + crop:] = 0
+                coords[:, :, :s] = 0
+                coords[:, :, s + crop:] = 0
+            coords = coords.reshape(-1, 4)
+            colors = np.asarray(obs["pointcloud"]["rgb"], np.float32).reshape(
+                -1, dataset.point_num_per_cam, 3
+            )[dataset.camera_ids].reshape(-1, 3)
+            keep = coords[..., -1] > 0
+            colors, coords = colors[keep], coords[keep][:, :3]
+            if not getattr(dataset, "include_ground", False):
+                keep = coords[..., -1] > 0.005
+            else:
+                keep = coords[..., 0] > -0.8
+            colors, coords = colors[keep], coords[keep]
+            pcd = dataset.transform_pcd(
+                dict(coord=coords.astype(np.float32),
+                     color=colors.astype(np.float32)),
+                mode="test",
+            )
+            if getattr(dataset, "include_ground", False):
+                pcd["mask"] = pcd["coord"][:, -1] > 0.005
+            data["pcds"] = pad_point_clouds([pcd], pad_multiple=pad_multiple)
+    return data
+
+
+def run_maniskill2_rollouts(
+    predict: Callable[[dict], np.ndarray],
+    dataset,
+    env,
+    env_id: str,
+    n_episodes: int,
+    action_dim: int,
+    num_queries: int,
+    temporal_agg: bool = True,
+    max_steps: int = 500,
+    pad_multiple: int = 512,
+    seed_base: int = 10240,
+    on_episode_end: Optional[Callable] = None,
+) -> dict:
+    """Run the validation protocol; returns metric dict with ``mean_success``
+    (+ grasp/align for the staged PegInsertion variant)."""
+    successes, grasps, aligns = [], [], []
+    staged = "3steps" in env_id or env_id == "PegInsertionSide-v0"
+    for idx in range(n_episodes):
+        options = {}
+        if env_id == "TurnFaucet-v0":
+            options = {"model_id": TURN_FAUCET_MODELS[idx // 40]}
+        obs, _ = env.reset(seed=seed_base + idx, options=options)
+        agg = TemporalAgg(
+            apply=temporal_agg, action_dim=action_dim,
+            chunk_size=num_queries, k=0.01,
+        )
+        rewards: list = []
+        success = False
+        grasp = align = False
+        for _ in range(max_steps):
+            data = build_act_obs(obs, dataset, pad_multiple=pad_multiple)
+            a_hat = np.asarray(predict(data))  # (1, nq, adim)
+            action = agg(a_hat[0])
+            action = (
+                action * dataset.norm_stats["action_std"]
+                + dataset.norm_stats["action_mean"]
+            )
+            obs, reward, terminated, truncated, info = env.step(action)
+            rewards.append(float(np.asarray(reward)))
+            if staged:
+                grasp = bool(info.get("is_grasped", False)) or grasp
+                align = bool(info.get("pre_inserted", False)) or align
+            if terminated or truncated:
+                success = bool(np.asarray(info.get("success", False)))
+                break
+        successes.append(float(success))
+        if staged:
+            grasps.append(float(grasp))
+            aligns.append(float(align))
+        if on_episode_end is not None:
+            on_episode_end(idx, success, rewards)
+    metrics = {"mean_success": float(np.mean(successes)) if successes else 0.0}
+    if staged and grasps:
+        metrics["mean_grasp"] = float(np.mean(grasps))
+        metrics["mean_align"] = float(np.mean(aligns))
+    return metrics
+
+
+def make_maniskill2_env(
+    env_id: str,
+    obs_mode: str = "pointcloud",
+    control_mode: str = "pd_ee_delta_pose",
+    shader_dir: str = "ibl",
+    record_dir: Optional[str] = None,
+    camera_cfgs: Optional[dict] = None,
+    **env_kwargs,
+):
+    """Default env factory: real ManiSkill2 via gym registration (SAPIEN on
+    the host). The PegInsertionSide eval remap quirk is preserved
+    (`maniskill2_act_bc_module.py:95-99`)."""
+    import gymnasium as gym
+    import mani_skill2.envs  # noqa: F401  (registers envs)
+
+    try:  # custom MultiView/lighting/background variants, when present
+        import pointcloudmatters_tpu.envs.custom_maniskill2  # noqa: F401
+    except ImportError:
+        pass
+
+    if env_id == "PegInsertionSide-v0":
+        env_id = "PegInsertionSide-3steps-v0"
+    env = gym.make(
+        env_id, obs_mode=obs_mode, control_mode=control_mode,
+        shader_dir=shader_dir, camera_cfgs=camera_cfgs or {}, **env_kwargs,
+    )
+    if record_dir is not None:
+        from mani_skill2.utils.wrappers import RecordEpisode
+
+        env = RecordEpisode(env, record_dir, info_on_video=True)
+    return env

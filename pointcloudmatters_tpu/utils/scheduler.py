@@ -1,0 +1,135 @@
+"""Learning-rate schedules as optax-style callables.
+
+Registry parity with the reference torch schedulers
+(`src/utils/scheduler.py:9-143`): every schedule is re-parameterized by
+``total_steps`` injected by the trainer from its estimated stepping batches
+(reference `maniskill2_act_bc_module.py:352-354`). Schedules return the
+*absolute* lr per step (``base_lr`` times the reference's multiplicative
+factor), so they drop straight into optax optimizers; jnp ops keep them
+jit-compatible inside the update.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable, Sequence
+
+import jax.numpy as jnp
+import optax
+
+from pointcloudmatters_tpu.utils.registry import Registry
+
+SCHEDULERS = Registry("schedulers")
+
+Schedule = Callable[[jnp.ndarray], jnp.ndarray]
+
+
+@SCHEDULERS.register_module(name="MultiStepLR")
+def multi_step_lr(
+    base_lr: float, total_steps: int, milestones: Sequence[float], gamma: float = 0.1
+) -> Schedule:
+    bounds = jnp.asarray([rate * total_steps for rate in milestones])
+
+    def schedule(step):
+        passed = jnp.sum(step >= bounds)
+        return base_lr * gamma ** passed
+
+    return schedule
+
+
+@SCHEDULERS.register_module(name="MultiStepWithWarmupLR")
+def multi_step_with_warmup_lr(
+    base_lr: float,
+    total_steps: int,
+    milestones: Sequence[float],
+    gamma: float = 0.1,
+    warmup_rate: float = 0.05,
+    warmup_scale: float = 1e-6,
+) -> Schedule:
+    bounds = jnp.asarray([rate * total_steps for rate in milestones])
+    warmup_steps = warmup_rate * total_steps
+
+    def schedule(step):
+        factor = gamma ** jnp.sum(step >= bounds)
+        warm = 1 - (1 - step / warmup_steps) * (1 - warmup_scale)
+        coeff = jnp.where(step <= warmup_steps, warm, 1.0)
+        return base_lr * coeff * factor
+
+    return schedule
+
+
+@SCHEDULERS.register_module(name="PolyLR")
+def poly_lr(base_lr: float, total_steps: int, power: float = 0.9) -> Schedule:
+    def schedule(step):
+        return base_lr * (1 - step / (total_steps + 1)) ** power
+
+    return schedule
+
+
+@SCHEDULERS.register_module(name="ExpLR")
+def exp_lr(base_lr: float, total_steps: int, gamma: float = 0.9) -> Schedule:
+    def schedule(step):
+        return base_lr * gamma ** (step / total_steps)
+
+    return schedule
+
+
+@SCHEDULERS.register_module(name="CosineAnnealingLR")
+def cosine_annealing_lr(
+    base_lr: float, total_steps: int, eta_min: float = 0.0
+) -> Schedule:
+    def schedule(step):
+        return eta_min + (base_lr - eta_min) * 0.5 * (
+            1 + jnp.cos(math.pi * step / total_steps)
+        )
+
+    return schedule
+
+
+@SCHEDULERS.register_module(name="OneCycleLR")
+def one_cycle_lr(
+    base_lr: float,
+    total_steps: int,
+    max_lr: float | None = None,
+    pct_start: float = 0.3,
+    anneal_strategy: str = "cos",
+    div_factor: float = 25.0,
+    final_div_factor: float = 1e4,
+    cycle_momentum: bool = True,
+    base_momentum: float = 0.85,
+    max_momentum: float = 0.95,
+    three_phase: bool = False,
+) -> Schedule:
+    """torch ``OneCycleLR`` semantics: initial = max/div, final =
+    initial/final_div, cosine ramp up for ``pct_start`` then anneal."""
+    del cycle_momentum, base_momentum, max_momentum  # not modeled
+    if three_phase:
+        raise NotImplementedError("three_phase OneCycleLR")
+    if anneal_strategy != "cos":
+        raise NotImplementedError(f"anneal_strategy={anneal_strategy!r}")
+    peak = float(max_lr if max_lr is not None else base_lr)
+    # optax floors phase boundaries to ints; pct_start*total_steps < 1 would
+    # create a zero-length warmup interval and NaN lrs (hit by debug configs
+    # with 1-2 total steps). Clamp so every phase spans >= 1 step.
+    min_total = int(math.ceil(1.0 / max(pct_start, 1e-6))) + 1
+    return optax.cosine_onecycle_schedule(
+        transition_steps=max(int(total_steps), min_total),
+        peak_value=peak,
+        pct_start=pct_start,
+        div_factor=div_factor,
+        final_div_factor=final_div_factor,
+    )
+
+
+def build_scheduler(cfg: dict, total_steps: int, base_lr: float) -> Schedule:
+    """Build a schedule from a ``{"type": ...}`` config, injecting
+    ``total_steps`` and the optimizer's base lr (reference
+    `scheduler.py:139-143` + the task modules' total_steps injection)."""
+    cfg = dict(cfg)
+    sched_type = cfg.pop("type")
+    cfg.pop("total_steps", None)
+    cfg.pop("interval", None)
+    cfg.pop("frequency", None)
+    return SCHEDULERS.get(sched_type)(
+        base_lr=base_lr, total_steps=total_steps, **cfg
+    )

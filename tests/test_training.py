@@ -1,0 +1,336 @@
+"""Training-stack tests: schedulers, optimizer groups, metrics, TemporalAgg,
+trainer fit/checkpoint, and fake-env rollout validation."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pointcloudmatters_tpu.utils.metrics import Metrics
+from pointcloudmatters_tpu.utils.misc import TemporalAgg
+from pointcloudmatters_tpu.utils.optimizer import build_optimizer
+from pointcloudmatters_tpu.utils.scheduler import build_scheduler
+
+
+class TestSchedulers:
+    def test_one_cycle_shape(self):
+        sch = build_scheduler(
+            {"type": "OneCycleLR", "max_lr": 1e-3, "pct_start": 0.1,
+             "anneal_strategy": "cos", "div_factor": 100.0,
+             "final_div_factor": 1000.0},
+            total_steps=1000, base_lr=1e-3,
+        )
+        vals = [float(sch(i)) for i in (0, 100, 999)]
+        assert all(np.isfinite(vals))
+        np.testing.assert_allclose(vals[0], 1e-3 / 100.0, rtol=1e-4)
+        np.testing.assert_allclose(vals[1], 1e-3, rtol=1e-3)  # peak at pct_start
+        assert vals[2] < vals[0]  # final = initial / final_div
+
+    def test_one_cycle_degenerate_total_steps(self):
+        """1-step debug runs must not produce NaN lrs."""
+        sch = build_scheduler(
+            {"type": "OneCycleLR", "max_lr": 1e-3, "pct_start": 0.1},
+            total_steps=1, base_lr=1e-3,
+        )
+        assert np.isfinite(float(sch(0))) and np.isfinite(float(sch(1)))
+
+    def test_multi_step(self):
+        sch = build_scheduler(
+            {"type": "MultiStepLR", "milestones": [0.5, 0.75], "gamma": 0.1},
+            total_steps=100, base_lr=1.0,
+        )
+        np.testing.assert_allclose(float(sch(10)), 1.0)
+        np.testing.assert_allclose(float(sch(60)), 0.1, rtol=1e-5)
+        np.testing.assert_allclose(float(sch(80)), 0.01, rtol=1e-5)
+
+    def test_poly_exp_cosine(self):
+        poly = build_scheduler({"type": "PolyLR", "power": 0.9}, 100, 2.0)
+        np.testing.assert_allclose(float(poly(0)), 2.0, rtol=1e-6)
+        exp = build_scheduler({"type": "ExpLR", "gamma": 0.5}, 100, 2.0)
+        np.testing.assert_allclose(float(exp(100)), 1.0, rtol=1e-5)
+        cos = build_scheduler({"type": "CosineAnnealingLR"}, 100, 2.0)
+        np.testing.assert_allclose(float(cos(0)), 2.0, rtol=1e-6)
+        np.testing.assert_allclose(float(cos(100)), 0.0, atol=1e-6)
+
+    def test_warmup(self):
+        sch = build_scheduler(
+            {"type": "MultiStepWithWarmupLR", "milestones": [0.8],
+             "warmup_rate": 0.1}, total_steps=100, base_lr=1.0,
+        )
+        assert float(sch(0)) < 1e-5  # warmup_scale start
+        np.testing.assert_allclose(float(sch(50)), 1.0, rtol=1e-5)
+
+
+class TestOptimizer:
+    def test_param_dicts_routing(self):
+        params = {
+            "backbone": {"kernel": jnp.ones((4, 4))},
+            "head": {"kernel": jnp.ones((4, 4))},
+        }
+        tx = build_optimizer(
+            {"type": "SGD", "lr": 1.0},
+            params=params,
+            param_dicts=[{"keyword": "backbone", "lr": 0.1}],
+        )
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        np.testing.assert_allclose(np.asarray(updates["head"]["kernel"]), -1.0)
+        np.testing.assert_allclose(
+            np.asarray(updates["backbone"]["kernel"]), -0.1, rtol=1e-6
+        )
+
+    def test_adamw_matches_torch_semantics(self):
+        import torch
+
+        params = {"w": jnp.asarray([[1.0, -2.0], [0.5, 3.0]])}
+        grads = {"w": jnp.asarray([[0.1, 0.2], [-0.3, 0.4]])}
+        tx = build_optimizer({"type": "AdamW", "lr": 1e-2, "weight_decay": 0.1})
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new_w = np.asarray(params["w"] + updates["w"])
+
+        tw = torch.tensor(np.asarray(params["w"]), requires_grad=True)
+        opt = torch.optim.AdamW([tw], lr=1e-2, weight_decay=0.1)
+        tw.grad = torch.tensor(np.asarray(grads["w"]))
+        opt.step()
+        np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
+
+    def test_adam_coupled_l2_matches_torch(self):
+        import torch
+
+        params = {"w": jnp.asarray([[1.0, -2.0]])}
+        grads = {"w": jnp.asarray([[0.1, 0.2]])}
+        tx = build_optimizer({"type": "Adam", "lr": 1e-2, "weight_decay": 0.1})
+        state = tx.init(params)
+        updates, _ = tx.update(grads, state, params)
+        new_w = np.asarray(params["w"] + updates["w"])
+
+        tw = torch.tensor(np.asarray(params["w"]), requires_grad=True)
+        opt = torch.optim.Adam([tw], lr=1e-2, weight_decay=0.1)
+        tw.grad = torch.tensor(np.asarray(grads["w"]))
+        opt.step()
+        np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
+
+
+class TestMetrics:
+    def test_routing(self):
+        m = Metrics(
+            [{"type": "MeanMetric"}, {"type": "MaxMetric"}],
+            ["loss", "acc"], ["train/loss", "train/acc_max"],
+        )
+        m.update({"loss": 2.0, "acc": 0.5})
+        m.update({"loss": 4.0, "acc": 0.8})
+        out = m.compute()
+        assert out["train/loss"] == 3.0
+        assert out["train/acc_max"] == 0.8
+        m.reset()
+        m.update({"loss": 10.0, "acc": 0.1})
+        assert m.compute()["train/loss"] == 10.0
+
+
+class TestTemporalAgg:
+    def test_identity_when_off(self):
+        agg = TemporalAgg(apply=False)
+        chunk = np.arange(12).reshape(3, 4).astype(float) + 1
+        np.testing.assert_array_equal(agg(chunk), chunk[0])
+
+    def test_exponential_ensembling(self):
+        agg = TemporalAgg(apply=True, action_dim=2, chunk_size=3, k=0.01)
+        c1 = np.array([[1.0, 1], [2, 2], [3, 3]])
+        out1 = agg(c1)
+        np.testing.assert_allclose(out1, [1.0, 1.0])  # single chunk
+        c2 = np.array([[10.0, 10], [20, 20], [30, 30]])
+        out2 = agg(c2)
+        # chunk age 1 predicts index 1 (value 2), age 0 predicts index 0 (10)
+        w = np.exp(-np.arange(2) * 0.01)
+        w = w / w.sum()
+        np.testing.assert_allclose(out2, w[0] * 2 + w[1] * 10)
+
+
+# ---------------------------------------------------------------------------
+# End-to-end trainer on synthetic data
+# ---------------------------------------------------------------------------
+
+CAM_SIDE = 16  # 256 points/cam
+
+
+def _make_data(tmp_path, n_episodes=4):
+    from tests.synth import make_synthetic_maniskill2
+
+    return make_synthetic_maniskill2(
+        str(tmp_path / "traj.h5"), n_episodes=n_episodes, episode_len=6,
+        cam_side=CAM_SIDE,
+    )
+
+
+def _compose(tmp_path, data_file, extra=()):
+    from pointcloudmatters_tpu.utils import config as C
+
+    cfg = C.compose(
+        str(os.path.join(os.path.dirname(__file__), "..", "configs")), "train",
+        [
+            "exp_maniskill2_act_policy=base",
+            "exp_maniskill2_act_policy/maniskill2_pcd_task@maniskill2_pcd_task=PickCube-v0",
+            "exp_maniskill2_act_policy/maniskill2_model@maniskill2_model=scratch_pointnet_pcd",
+            "debug=default",
+            f"data.train.dataset_file={data_file}",
+            f"data.train.point_num_per_cam={CAM_SIDE * CAM_SIDE}",
+            "data.train.chunk_size=5",
+            "data.train.cache_dir=" + str(tmp_path / "cache"),
+            "data.batch_size_train=2",
+            "data.pad_multiple=64",
+            "model.policy.hidden_dim=32",
+            "model.policy.pcd_npoints=16",
+            "model.policy.pcd_nsample=4",
+            "model.policy.transformer.num_encoder_layers=1",
+            "model.policy.transformer.num_decoder_layers=1",
+            "model.policy.transformer.nhead=4",
+            "logger=csv",
+            f"paths.log_dir={tmp_path}/logs",
+            "trainer.log_every_n_steps=1",
+            "callbacks.model_checkpoint.save_last=true",
+            *extra,
+        ],
+    )
+    from pointcloudmatters_tpu.utils.config import resolve_config, set_runtime
+
+    set_runtime(output_dir=str(tmp_path / "out"), cwd=str(tmp_path))
+    resolve_config(cfg)
+    return cfg
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    """Train 1 debug epoch end-to-end through the real entry path."""
+    from pointcloudmatters_tpu.utils import config as C
+    from pointcloudmatters_tpu.utils.utils import (
+        instantiate_callbacks,
+        instantiate_loggers,
+    )
+
+    tmp_path = tmp_path_factory.mktemp("e2e")
+    data_file = _make_data(tmp_path)
+    cfg = _compose(tmp_path, data_file)
+    dm = C.instantiate(cfg.data)
+    model = C.instantiate(cfg.model)
+    callbacks = instantiate_callbacks(cfg.get("callbacks"))
+    loggers = instantiate_loggers(cfg.get("logger"))
+    trainer = C.instantiate(cfg.trainer, callbacks=callbacks, logger=loggers)
+    trainer.fit(model, datamodule=dm)
+    return cfg, dm, model, trainer, tmp_path
+
+
+class TestTrainerFit:
+    def test_loss_finite_and_logged(self, trained):
+        cfg, dm, model, trainer, tmp_path = trained
+        out = model.train_metrics.compute()
+        assert np.isfinite(out["train/loss"])
+        csvs = [
+            os.path.join(root, f)
+            for root, _, files in os.walk(str(tmp_path / "out"))
+            for f in files if f == "metrics.csv"
+        ]
+        assert csvs, "csv logger wrote no metrics"
+
+    def test_checkpoint_roundtrip(self, trained):
+        cfg, dm, model, trainer, tmp_path = trained
+        last = os.path.join(trainer.checkpoint_callback.dirpath, "last")
+        assert os.path.isdir(last), "save_last checkpoint missing"
+        before = jax.tree.leaves(trainer.state.params)[0].copy()
+        # perturb, then restore
+        trainer.state = trainer.state.replace(
+            params=jax.tree.map(lambda p: p + 1.0, trainer.state.params)
+        )
+        trainer.restore_checkpoint(last)
+        after = jax.tree.leaves(trainer.state.params)[0]
+        np.testing.assert_allclose(np.asarray(after), np.asarray(before))
+
+    def test_loss_decreases_multiepoch(self, tmp_path):
+        from pointcloudmatters_tpu.utils import config as C
+
+        data_file = _make_data(tmp_path)
+        cfg = _compose(
+            tmp_path, data_file,
+            extra=[
+                "trainer.max_epochs=6",
+                "trainer.limit_train_batches=2",
+                "trainer.detect_anomaly=true",
+                "trainer.check_val_every_n_epoch=0",
+                "model.optimizer.lr=0.001",
+                "callbacks=none",
+                "logger=null",
+            ],
+        )
+        dm = C.instantiate(cfg.data)
+        model = C.instantiate(cfg.model)
+        trainer = C.instantiate(cfg.trainer, callbacks=[], logger=None)
+        losses = []
+        orig_update = model.train_metrics.update
+
+        def record(outputs, weight=1.0):
+            if "loss" in outputs:
+                losses.append(float(outputs["loss"]))
+            orig_update(outputs, weight)
+
+        model.train_metrics.update = record
+        trainer.fit(model, datamodule=dm)
+        assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+class TestRolloutValidation:
+    def test_fake_env_rollout(self, tmp_path):
+        """Full rollout validation through a fake env implementing the
+        gymnasium 5-tuple contract (SURVEY §4's test seam)."""
+        from pointcloudmatters_tpu.utils import config as C
+
+        rng = np.random.RandomState(0)
+        n_pts = CAM_SIDE * CAM_SIDE
+
+        class FakeEnv:
+            def _obs(self):
+                xyz = rng.rand(n_pts, 3).astype(np.float32) * 0.3
+                w = (rng.rand(n_pts, 1) > 0.2).astype(np.float32)
+                return {
+                    "agent": {"qpos": rng.randn(9).astype(np.float32)},
+                    "pointcloud": {
+                        "xyzw": np.concatenate([xyz, w], -1),
+                        "rgb": rng.randint(0, 255, (n_pts, 3)).astype(np.uint8),
+                    },
+                    "extra": {"goal_pos": rng.randn(3).astype(np.float32)},
+                }
+
+            def reset(self, seed=None, options=None):
+                self.t = 0
+                self.seeds = seed
+                return self._obs(), {}
+
+            def step(self, action):
+                assert np.asarray(action).shape == (7,)
+                self.t += 1
+                done = self.t >= 3
+                return self._obs(), 0.5, done, False, {"success": done}
+
+            def close(self):
+                pass
+
+        data_file = _make_data(tmp_path)
+        cfg = _compose(
+            tmp_path, data_file,
+            extra=[
+                "trainer.check_val_every_n_epoch=1",
+                "trainer.limit_val_batches=2",
+                "data.val.size=2",
+                "callbacks=none",
+                "logger=null",
+            ],
+        )
+        dm = C.instantiate(cfg.data)
+        model = C.instantiate(cfg.model)
+        model.env_factory = lambda module: FakeEnv()
+        trainer = C.instantiate(cfg.trainer, callbacks=[], logger=None)
+        trainer.fit(model, datamodule=dm)
+        out = model.best_val_metrics.compute()
+        assert out["val/mean_success"] == 1.0
