@@ -1,0 +1,91 @@
+"""Benchmark: ManiSkill2 ACT+point-cloud BC training throughput (samples/sec).
+
+The BASELINE.md headline metric — samples/sec/chip for the flagship
+``scratch_pointnet_pcd`` config (ACT hidden 512, 4 enc / 7 dec, chunk 100,
+2048 FPS points x 16 kNN; PointNet per-point MLP over the padded cloud). One
+full optimizer step per sample batch: forward + loss + backward + AdamW +
+batch-stats, bf16-mixed, jitted, on however many local chips are visible
+(one under the sandbox tunnel).
+
+Prints ONE json line: {"metric", "value", "unit", "vs_baseline"}.
+
+``vs_baseline`` divides by an ESTIMATED A100 throughput for the torch
+reference (BASELINE.md: the repo publishes none and the reference stack
+cannot run here — no CUDA). The estimate assumes the reference's bs8 training
+step (spconv PointNet + CUDA FPS/kNN + torch MHA) at ~10ms/sample on A100.
+Treat the ratio as provisional until the A100 number is measured.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+
+from __graft_entry__ import build_batch, build_flagship
+
+# Estimated reference throughput (samples/sec) for ManiSkill2 ACT+pcd BC on
+# one A100 — provisional, see module docstring.
+A100_BASELINE_SPS = 100.0
+
+BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
+N_POINTS = int(os.environ.get("BENCH_POINTS", "10240"))
+WARMUP = int(os.environ.get("BENCH_WARMUP", "3"))
+STEPS = int(os.environ.get("BENCH_STEPS", "20"))
+
+
+def main() -> None:
+    from pointcloudmatters_tpu.models.bc_module import BCModule
+    from pointcloudmatters_tpu.trainer import Trainer
+
+    policy = build_flagship()  # reference scale
+    module = BCModule(
+        policy=policy,
+        optimizer={"type": "AdamW", "lr": 5e-5, "weight_decay": 0.05},
+        lr_scheduler={"scheduler": {"type": "OneCycleLR", "max_lr": 5e-5,
+                                    "pct_start": 0.1}},
+    )
+    trainer = Trainer(
+        default_root_dir="/tmp/pcm_bench", max_epochs=1,
+        precision="bf16-mixed", devices="auto",
+    )
+    batch = build_batch(batch_size=BATCH_SIZE, n_points=N_POINTS)
+    module.setup_module(
+        type("K", (), {"estimated_stepping_batches": 10_000,
+                       "gradient_clip_val": None,
+                       "accumulate_grad_batches": 1,
+                       "seed": 0})(),
+        batch,
+    )
+    state = trainer._replicate(module.initial_state(batch))
+    sharded = trainer.shard_batch(batch)
+    step = trainer._build_train_step(module)
+
+    for _ in range(WARMUP):
+        state, metrics = step(state, sharded)
+    jax.block_until_ready(state.params)
+
+    t0 = time.perf_counter()
+    for _ in range(STEPS):
+        state, metrics = step(state, sharded)
+    jax.block_until_ready(state.params)
+    dt = time.perf_counter() - t0
+
+    loss = float(metrics["loss"])
+    assert np.isfinite(loss), f"non-finite loss {loss}"
+    n_chips = trainer.mesh.devices.size
+    sps_per_chip = BATCH_SIZE * STEPS / dt / n_chips
+    print(json.dumps({
+        "metric": "maniskill2_act_pcd_bc_train_throughput",
+        "value": round(sps_per_chip, 2),
+        "unit": "samples/sec/chip",
+        "vs_baseline": round(sps_per_chip / A100_BASELINE_SPS, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

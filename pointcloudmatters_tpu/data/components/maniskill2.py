@@ -181,7 +181,7 @@ class _ManiSkill2TrajectoryDataset(Dataset):
             colors[coords[..., -1] == 0] = 0
             coords = np.where(coords[..., -1:] == 0, 0, coords)[..., :3]
             image = np.concatenate([colors, coords], axis=-1).reshape(-1, side, side, 6)
-            return np.transpose(image, (0, 3, 1, 2)).astype(np.float32)  # k c h w
+            return image.astype(np.float32)  # (k, h, w, 6) NHWC
 
         coords = coords.copy()
         if self.rand_crop and mode == "train":
@@ -344,14 +344,15 @@ class ManiSkill2GoalPosSingleTaskACTRGBDDataset(_ManiSkill2TrajectoryDataset):
         return rgb[ts]
 
     def _scale_image(self, image_khwc: np.ndarray) -> np.ndarray:
-        """(k,h,w,c) -> (k,c,h,w) scaled."""
-        img = np.transpose(image_khwc, (0, 3, 1, 2)).astype(np.float32)
+        """(k,h,w,c) scaled, kept channel-last (NHWC is the TPU conv layout;
+        the reference permutes to torch's NCHW here)."""
+        img = image_khwc.astype(np.float32).copy()
         if self.only_depth:
-            img[:, :1] = img[:, :1] / (2**10)
+            img[..., :1] = img[..., :1] / (2**10)
         else:
-            img[:, :3] = img[:, :3] / 255.0
+            img[..., :3] = img[..., :3] / 255.0
             if self.include_depth and not self.scale_rgb_only:
-                img[:, 3:] = img[:, 3:] / (2**10)
+                img[..., 3:] = img[..., 3:] / (2**10)
         return img
 
     def __getitem__(self, idx):

@@ -136,9 +136,13 @@ class BCModule:
         rng = jax.random.PRNGKey(self.seed)
         init_rng, vae_rng, drop_rng, state_rng = jax.random.split(rng, 4)
         batch = select_model_batch(example_batch)
-        variables = self.policy.init(
-            {"params": init_rng, "vae": vae_rng, "dropout": drop_rng},
-            batch, train=True,
+        # jit the init: eager tracing dispatches thousands of tiny ops, which
+        # is pathological over a remote-device tunnel
+        init_fn = jax.jit(
+            lambda rngs, b: self.policy.init(rngs, b, train=True)
+        )
+        variables = init_fn(
+            {"params": init_rng, "vae": vae_rng, "dropout": drop_rng}, batch
         )
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})

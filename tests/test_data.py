@@ -146,9 +146,9 @@ class TestRGBDDataset:
             goal_cond_keys=("goal_pos",), cache_dir=cache_dir,
         )
         s = ds[0]
-        assert s["image"].shape == (1, 4, 32, 32)
-        assert s["image"][:, :3].max() <= 1.0
-        assert s["image"][:, 3:].max() <= 1.0  # depth scaled by 2^10
+        assert s["image"].shape == (1, 32, 32, 4)
+        assert s["image"][..., :3].max() <= 1.0
+        assert s["image"][..., 3:].max() <= 1.0  # depth scaled by 2^10
 
 
 class TestDPDataset:
