@@ -527,12 +527,12 @@ class ManiSkill2GoalPosSingleTaskDiffusionPolicyRGBDDataset(
                 self._camera_image(trajectory, cam, start_ts + s)
                 for s in range(self.n_obs_steps)
             ])
-            scaled = self._scale_image(frames)  # (T, c, h, w)
+            scaled = self._scale_image(frames)  # (T, h, w, c) NHWC
             if self.only_depth:
                 obs_dict[f"{cam}_depth"] = scaled
             elif self.include_depth:
-                obs_dict[f"{cam}_rgb"] = scaled[:, :3]
-                obs_dict[f"{cam}_depth"] = scaled[:, 3:]
+                obs_dict[f"{cam}_rgb"] = scaled[..., :3]
+                obs_dict[f"{cam}_depth"] = scaled[..., 3:]
             else:
                 obs_dict[f"{cam}_rgb"] = scaled
 

@@ -185,3 +185,143 @@ def make_maniskill2_env(
 
         env = RecordEpisode(env, record_dir, info_on_video=True)
     return env
+
+
+# ---------------------------------------------------------------------------
+# Diffusion-policy rollouts (reference `maniskill2_dp_bc_module.py:125-306`)
+# ---------------------------------------------------------------------------
+
+def build_dp_obs(hist_obs: list, dataset, pad_multiple: int = 512) -> dict:
+    """Batch-of-1 DP policy input from the last ``n_obs_steps`` raw env
+    observations, reusing the train dataset's pcd/image pipelines in test
+    mode (`maniskill2_dp_bc_module.py:125-222`)."""
+    data: dict = {"obs": {}}
+    qpos = np.stack(
+        [np.asarray(o["agent"]["qpos"], np.float32) for o in hist_obs]
+    )
+    data["obs"]["qpos"] = qpos[None]  # (1, To, D)
+
+    first = hist_obs[0]
+    if "image" in first:
+        for cam in getattr(dataset, "camera_names", list(first["image"])):
+            rgb = np.stack([
+                np.asarray(o["image"][cam]["rgb"], np.float32) / 255.0
+                for o in hist_obs
+            ])
+            data["obs"][f"{cam}_rgb"] = rgb[None]  # (1, To, H, W, 3) NHWC
+            if getattr(dataset, "include_depth", False):
+                depth = np.stack([
+                    np.asarray(o["image"][cam]["depth"], np.float32)
+                    for o in hist_obs
+                ])
+                data["obs"][f"{cam}_depth"] = depth[None]
+    elif "pointcloud" in first:
+        side = int(round(dataset.point_num_per_cam ** 0.5))
+        if getattr(dataset, "pointmap", False):
+            frames = []
+            for o in hist_obs:
+                coords = np.asarray(o["pointcloud"]["xyzw"], np.float32).reshape(
+                    -1, side, side, 4
+                )[dataset.camera_ids].copy()
+                colors = np.asarray(o["pointcloud"]["rgb"], np.float32).reshape(
+                    -1, side, side, 3
+                )[dataset.camera_ids] / 255.0
+                colors[coords[..., -1] == 0] = 0
+                coords[coords[..., -1] == 0] = 0
+                frames.append(
+                    np.concatenate([colors, coords[..., :3]], axis=-1)
+                )
+            data["obs"]["base_camera_rgb"] = np.stack(frames)[None]
+        else:
+            pcds = []
+            for o in hist_obs:
+                coords = np.asarray(o["pointcloud"]["xyzw"], np.float32).reshape(
+                    -1, side, side, 4
+                )[dataset.camera_ids].copy()
+                if getattr(dataset, "rand_crop", False):
+                    crop = int(side * 112 / 128)
+                    s = (side - crop) // 2
+                    coords[:, :s] = 0
+                    coords[:, s + crop:] = 0
+                    coords[:, :, :s] = 0
+                    coords[:, :, s + crop:] = 0
+                coords = coords.reshape(-1, 4)
+                colors = np.asarray(o["pointcloud"]["rgb"], np.float32).reshape(
+                    -1, dataset.point_num_per_cam, 3
+                )[dataset.camera_ids].reshape(-1, 3)
+                keep = coords[..., -1] > 0
+                colors, coords = colors[keep], coords[keep][:, :3]
+                keep = coords[..., -1] > 0.005
+                colors, coords = colors[keep], coords[keep]
+                pcds.append(dataset.transform_pcd(
+                    dict(coord=coords.astype(np.float32),
+                         color=colors.astype(np.float32)),
+                    mode="test",
+                ))
+            data["obs"]["pcds"] = pad_point_clouds(pcds, pad_multiple=pad_multiple)
+
+    goal = dataset.get_goal(first) if dataset.goal_cond_keys else None
+    if goal is not None:
+        data["goal"] = {
+            "task_emb": np.asarray(goal, np.float32).reshape(1, -1)
+        }
+    return data
+
+
+def run_maniskill2_dp_rollouts(
+    predict: Callable[[dict], np.ndarray],
+    dataset,
+    env,
+    env_id: str,
+    n_episodes: int,
+    n_obs_steps: int,
+    max_steps: int = 500,
+    pad_multiple: int = 512,
+    seed_base: int = 10240,
+    on_episode_end: Optional[Callable] = None,
+) -> dict:
+    """DP protocol: each prediction returns ``n_action_steps`` actions which
+    are all executed before re-planning (`maniskill2_dp_bc_module.py:252-280`)."""
+    successes, grasps, aligns = [], [], []
+    staged = "3steps" in env_id or env_id == "PegInsertionSide-v0"
+    for idx in range(n_episodes):
+        options = {}
+        if env_id == "TurnFaucet-v0":
+            options = {"model_id": TURN_FAUCET_MODELS[idx // 40]}
+        obs, _ = env.reset(seed=seed_base + idx, options=options)
+        hist = [obs] * n_obs_steps
+        rewards: list = []
+        success = False
+        grasp = align = False
+        done = False
+        steps = 0
+        while not done and steps < max_steps:
+            data = build_dp_obs(hist, dataset, pad_multiple=pad_multiple)
+            actions = np.asarray(predict(data))  # (1, n_action_steps, Da)
+            if actions.ndim == 2:
+                actions = actions[:, None, :]
+            for a_idx in range(actions.shape[1]):
+                obs, reward, terminated, truncated, info = env.step(
+                    actions[0, a_idx]
+                )
+                hist = hist[1:] + [obs]
+                rewards.append(float(np.asarray(reward)))
+                steps += 1
+                if staged:
+                    grasp = bool(info.get("is_grasped", False)) or grasp
+                    align = bool(info.get("pre_inserted", False)) or align
+                if terminated or truncated or steps >= max_steps:
+                    success = bool(np.asarray(info.get("success", False)))
+                    done = True
+                    break
+        successes.append(float(success))
+        if staged:
+            grasps.append(float(grasp))
+            aligns.append(float(align))
+        if on_episode_end is not None:
+            on_episode_end(idx, success, rewards)
+    metrics = {"mean_success": float(np.mean(successes)) if successes else 0.0}
+    if staged and grasps:
+        metrics["mean_grasp"] = float(np.mean(grasps))
+        metrics["mean_align"] = float(np.mean(aligns))
+    return metrics

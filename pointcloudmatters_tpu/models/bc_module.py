@@ -28,6 +28,7 @@ log = RankedLogger(__name__, rank_zero_only=True)
 
 _MODEL_INPUT_KEYS = (
     "qpos", "actions", "is_pad", "goal_cond", "image", "env_state", "obs",
+    "action", "goal",
 )
 _PCD_INPUT_KEYS = ("coord", "grid_coord", "feat", "valid", "mask", "color", "condition")
 
@@ -52,6 +53,11 @@ def select_model_batch(batch: dict) -> dict:
 
 class BCModule:
     """Base task module. Subclasses override validation behavior."""
+
+    # PRNG streams the policy consumes during training; the trainer folds the
+    # step rng into one key per stream (ACT: vae sampling + dropout; DP
+    # overrides with noise/crop streams)
+    train_rng_streams: tuple = ("vae", "dropout")
 
     def __init__(
         self,
@@ -158,6 +164,10 @@ class BCModule:
         )
 
     # -- pure step functions (jitted by the Trainer) ------------------------
+    def make_rngs(self, key: jax.Array) -> dict:
+        keys = jax.random.split(key, len(self.train_rng_streams))
+        return dict(zip(self.train_rng_streams, keys))
+
     def apply_train(self, variables: dict, batch: dict, rngs: dict):
         return self.policy.apply(
             variables, select_model_batch(batch), train=True, rngs=rngs,
@@ -165,7 +175,12 @@ class BCModule:
         )
 
     def apply_eval(self, variables: dict, batch: dict):
-        return self.policy.apply(variables, select_model_batch(batch), train=False)
+        # deterministic eval still needs the streams bound (e.g. DP's noise
+        # draw when computing a held-out loss)
+        rngs = self.make_rngs(jax.random.PRNGKey(0))
+        return self.policy.apply(
+            variables, select_model_batch(batch), train=False, rngs=rngs
+        )
 
     # -- inference (rollouts, serving) --------------------------------------
     def predict(self, variables: dict, obs: dict):

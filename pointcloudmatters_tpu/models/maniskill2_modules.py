@@ -150,3 +150,119 @@ class RLBenchACTBCModule(BCModule):
             policy=policy, optimizer=optimizer, lr_scheduler=lr_scheduler,
             **hparams,
         )
+
+
+class ManiSkill2DiffusionPolicyBCModule(ManiSkill2ACTBCModule):
+    """Diffusion-policy task module (`src/models/maniskill2_dp_bc_module.py:21`).
+
+    Differences from the ACT module: the dataset's ``LinearNormalizer`` is
+    attached to the policy before init (`maniskill2_dp_bc_module.py:54-57`),
+    only ``loss`` is tracked in training metrics, and validation rollouts
+    execute the policy's full ``n_action_steps`` window per prediction.
+    """
+
+    train_rng_streams = ("noise", "dropout", "crop")
+
+    def __init__(self, policy, optimizer=None, lr_scheduler=None,
+                 train_metrics=None, **hparams):
+        super().__init__(
+            policy=policy, optimizer=optimizer, lr_scheduler=lr_scheduler,
+            train_metrics=train_metrics or Metrics(
+                ["MeanMetric"], ["loss"], ["train/loss"]
+            ),
+            **hparams,
+        )
+
+    def setup_module(self, trainer, example_batch) -> None:
+        super().setup_module(trainer, example_batch)
+        datamodule = getattr(trainer, "datamodule", None)
+        dataset = getattr(datamodule, "data_train", None)
+        if (self.policy.normalizer is None and dataset is not None
+                and hasattr(dataset, "get_normalizer")):
+            normalizer = dataset.get_normalizer()
+            self.policy = self.policy.clone(normalizer=normalizer)
+            self._extras["normalizer"] = normalizer.state_dict()
+            log.info("wired dataset LinearNormalizer into the policy")
+
+    def load_state_dict_extras(self, extras: dict) -> None:
+        super().load_state_dict_extras(extras)
+        if "normalizer" in self._extras:
+            from pointcloudmatters_tpu.utils.normalizer import LinearNormalizer
+
+            normalizer = LinearNormalizer.from_state_dict(
+                self._extras["normalizer"]
+            )
+            self.policy = self.policy.clone(normalizer=normalizer)
+
+    def run_validation(self, trainer, datamodule) -> dict:
+        from pointcloudmatters_tpu.envs.rollout import (
+            run_maniskill2_dp_rollouts,
+        )
+
+        dataset = datamodule.data_train
+        val_loader = datamodule.val_dataloader()
+        n_episodes = len(val_loader.dataset) if val_loader is not None else 0
+        from pointcloudmatters_tpu.trainer import _limit
+
+        n_episodes = _limit(n_episodes, trainer.limit_val_batches)
+        if n_episodes <= 0:
+            return {}
+        try:
+            env = self._make_env(dataset)
+        except Exception as e:
+            log.warning(
+                f"ManiSkill2 simulator unavailable ({type(e).__name__}: {e}); "
+                "falling back to held-out-loss validation"
+            )
+            return BCModule.run_validation(self, trainer, datamodule)
+
+        import functools
+
+        import jax
+
+        policy_apply = jax.jit(
+            functools.partial(self.policy.apply, train=False)
+        )
+        sample_key = jax.random.PRNGKey(getattr(trainer, "seed", 0) or 0)
+        counter = dict(n=0)
+
+        def predict(data_dict):
+            variables = {
+                "params": trainer.state.params,
+                "batch_stats": trainer.state.batch_stats,
+            }
+            counter["n"] += 1
+            out = policy_apply(
+                variables, data_dict,
+                rngs={"sample": jax.random.fold_in(sample_key, counter["n"])},
+            )
+            return np.asarray(out["action"])
+
+        try:
+            metrics = run_maniskill2_dp_rollouts(
+                predict=predict,
+                dataset=dataset,
+                env=env,
+                env_id=self.env_id or "",
+                n_episodes=n_episodes,
+                n_obs_steps=self.policy.n_obs_steps,
+                pad_multiple=getattr(datamodule, "pad_multiple", 512),
+            )
+        finally:
+            env.close()
+        self.val_metrics.reset()
+        self.val_metrics.update(metrics)
+        out = self.val_metrics.compute()
+        for extra in ("mean_grasp", "mean_align"):
+            if extra in metrics:
+                out[f"val/{extra}"] = metrics[extra]
+        self.best_val_metrics.update(out)
+        out.update(self.best_val_metrics.compute())
+        return out
+
+
+class RLBenchDiffusionPolicyBCModule(ManiSkill2DiffusionPolicyBCModule):
+    """Held-out-loss validation only (`rlbench_dp_bc_module.py:17,46-50`)."""
+
+    def run_validation(self, trainer, datamodule) -> dict:
+        return BCModule.run_validation(self, trainer, datamodule)

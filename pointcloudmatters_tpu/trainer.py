@@ -188,14 +188,14 @@ class Trainer:
 
         def train_step(state: TrainState, batch):
             step_rng = jax.random.fold_in(state.rng, state.step)
-            vae_rng, drop_rng = jax.random.split(step_rng)
+            rngs = module.make_rngs(step_rng)
 
             def loss_fn(params):
                 p = _cast_floating(params, compute_dtype) if mixed else params
                 b = _cast_floating(batch, compute_dtype) if mixed else batch
                 out, mut = module.apply_train(
                     {"params": p, "batch_stats": state.batch_stats}, b,
-                    rngs={"vae": vae_rng, "dropout": drop_rng},
+                    rngs=rngs,
                 )
                 loss = out["loss"].astype(jnp.float32)
                 metrics = {
@@ -310,6 +310,7 @@ class Trainer:
     # ------------------------------------------------------------------
     def fit(self, model, datamodule=None, ckpt_path: Optional[str] = None) -> None:
         self._module = model
+        self.datamodule = datamodule
         if hasattr(datamodule, "setup"):
             datamodule.setup("fit")
         train_loader = datamodule.train_dataloader()
@@ -411,6 +412,7 @@ class Trainer:
 
     def validate(self, model, datamodule=None, ckpt_path: Optional[str] = None) -> dict:
         self._module = model
+        self.datamodule = datamodule
         if hasattr(datamodule, "setup"):
             datamodule.setup("validate")
         train_loader = datamodule.train_dataloader()

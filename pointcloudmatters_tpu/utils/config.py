@@ -158,13 +158,24 @@ def _del_path(cfg: dict, path: str) -> None:
 
 
 def merge_into(dst: dict, src: dict) -> dict:
-    """Recursive dict merge; ``src`` wins. Lists are replaced, not merged."""
+    """Recursive dict merge; ``src`` wins. Lists are replaced, not merged.
+
+    When ``src`` retargets a node (different ``_target_``), the node is
+    *replaced* instead of merged: stale keys from the old target would
+    otherwise leak into the new constructor. (Hydra merges and relies on
+    ``**kwargs``-tolerant constructors; replacement is the cleaner contract
+    and what every retargeting overlay in the reference tree intends.)
+    """
     for key, value in dict.items(src):
-        if (
-            isinstance(value, dict)
-            and isinstance(dict.get(dst, key), dict)
-        ):
-            merge_into(dict.__getitem__(dst, key), value)
+        dst_value = dict.get(dst, key)
+        if isinstance(value, dict) and isinstance(dst_value, dict):
+            src_target = dict.get(value, "_target_")
+            dst_target = dict.get(dst_value, "_target_")
+            if (src_target is not None and dst_target is not None
+                    and src_target != dst_target):
+                dst[key] = copy.deepcopy(value)
+            else:
+                merge_into(dst_value, value)
         else:
             dst[key] = copy.deepcopy(value)
     return dst
