@@ -515,7 +515,12 @@ class _Resolver:
             if expr.startswith(name + ":"):
                 arg = expr[len(name) + 1 :]
                 if name == "eval":
-                    arg = str(yaml.safe_load(arg)) if arg.startswith(("'", '"')) else arg
+                    # strip matching outer quotes by hand: spliced nested
+                    # interpolations may repr() to strings containing quotes,
+                    # which YAML would refuse to parse
+                    s = arg.strip()
+                    if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+                        arg = s[1:-1]
                 return fn(arg)
         # config-path interpolation
         path = expr.strip()

@@ -75,3 +75,18 @@ def load_npz_dict(path: str) -> dict:
                 node = node.setdefault(p, {})
             node[parts[-1]] = data[key]
     return out
+
+
+def load_numpy_pickle(path: str):
+    """Load an object saved via ``np.save`` with pickling (the RLBench
+    preprocessing format, reference `src/utils/io.py` analog)."""
+    obj = np.load(path, allow_pickle=True)
+    if isinstance(obj, np.ndarray) and obj.dtype == object:
+        return obj.item()
+    return obj
+
+
+def listdir(path: str):
+    import os
+
+    return sorted(os.listdir(path))

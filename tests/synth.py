@@ -70,3 +70,53 @@ def make_synthetic_maniskill2(
     with open(json_path, "w") as f:
         json.dump(meta, f)
     return str(path)
+
+
+def make_synthetic_rlbench(
+    root: str,
+    task_name: str = "close_jar",
+    n_episodes: int = 3,
+    episode_len: int = 8,
+    side: int = 16,
+    stages=("train", "val"),
+    seed: int = 0,
+) -> str:
+    """Write processed-format RLBench episodes
+    (`scripts/preprocess_rlbench.py` output layout): per-episode .npy pickles
+    of {"demo": [frame dicts], "task_goal": (512,)}."""
+    import os
+
+    from pointcloudmatters_tpu.data.components.rlbench.constants import (
+        SCENE_BOUNDS,
+        loc_bounds,
+    )
+
+    rng = np.random.RandomState(seed)
+    lo = np.array(SCENE_BOUNDS[:3])
+    hi = np.array(SCENE_BOUNDS[3:])
+    pos_lo, pos_hi = (np.array(b) for b in loc_bounds[task_name])
+    for stage in stages:
+        out_dir = os.path.join(root, stage, task_name)
+        os.makedirs(out_dir, exist_ok=True)
+        for ep in range(n_episodes):
+            demo = []
+            for t in range(episode_len):
+                quat = rng.randn(4)
+                quat = quat / np.linalg.norm(quat)
+                pos = rng.uniform(pos_lo, pos_hi)
+                cloud = rng.uniform(lo, hi, (side, side, 3)).astype(np.float32)
+                # sprinkle some out-of-bounds points to exercise the crop
+                cloud[0, :2] = hi + 1.0
+                demo.append({
+                    "ignore_collisions": float(rng.rand() > 0.5),
+                    "front_rgb": rng.randint(0, 255, (side, side, 3)).astype(np.uint8),
+                    "front_depth": rng.rand(side, side).astype(np.float32),
+                    "front_point_cloud": cloud,
+                    "front_mask": rng.randint(0, 250, (side, side)).astype(np.float32),
+                    "gripper_pose": np.concatenate([pos, quat]).astype(np.float32),
+                    "gripper_open": float(rng.rand() > 0.5),
+                })
+            task_goal = rng.randn(512).astype(np.float32)
+            np.save(os.path.join(out_dir, f"ep{ep}.npy"),
+                    dict(demo=demo, task_goal=task_goal), allow_pickle=True)
+    return root
