@@ -57,7 +57,7 @@ class BCModule:
     # PRNG streams the policy consumes during training; the trainer folds the
     # step rng into one key per stream (ACT: vae sampling + dropout; DP
     # overrides with noise/crop streams)
-    train_rng_streams: tuple = ("vae", "dropout")
+    train_rng_streams: tuple = ("vae", "dropout", "mask")
 
     def __init__(
         self,
@@ -150,6 +150,11 @@ class BCModule:
         variables = init_fn(
             {"params": init_rng, "vae": vae_rng, "dropout": drop_rng}, batch
         )
+        from pointcloudmatters_tpu.models.components.pretrained import (
+            load_pretrained_into,
+        )
+
+        variables = load_pretrained_into(self.policy, variables)
         params = variables["params"]
         batch_stats = variables.get("batch_stats", {})
         n_params = sum(int(np.prod(p.shape)) for p in jax.tree.leaves(params))

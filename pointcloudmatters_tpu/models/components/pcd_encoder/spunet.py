@@ -269,3 +269,79 @@ class SpUNet(nn.Module):
             m = out_valid[..., None].astype(x.dtype)
             x = jnp.sum(x * m, axis=1) / jnp.maximum(jnp.sum(m, axis=1), 1.0)
         return x
+
+
+# ---------------------------------------------------------------------------
+# PonderV2 checkpoint porting (`spunet.py:399-409`)
+# ---------------------------------------------------------------------------
+
+def _port_spconv_weight(w: np.ndarray, k: int) -> np.ndarray:
+    """spconv v2 SubMConv3d weights are (out, kd, kh, kw, in); our planes are
+    (k^3, in, out) in row-major (x, y, z) offset order — the same traversal
+    spconv uses for its kernel positions."""
+    out_c, in_c = w.shape[0], w.shape[-1]
+    return np.transpose(w.reshape(out_c, k ** 3, in_c), (1, 2, 0))
+
+
+def load_ponderv2_weights(params: dict, batch_stats: dict, state_dict: dict,
+                          conditions=("ScanNet", "S3DIS", "Structured3D")):
+    """Map a PonderV2 checkpoint (``module.backbone.*`` keys,
+    `spunet.py:399-409`) onto ``SpUNet.init`` params/batch_stats trees."""
+    sd = {}
+    for key, value in state_dict.items():
+        if key.startswith("module.backbone."):
+            sd[key.replace("module.backbone.", "")] = np.asarray(value)
+        elif key.startswith("module.embedding_table"):
+            sd[key.replace("module.", "")] = np.asarray(value)
+    params = jax.tree.map(np.asarray, params)
+    batch_stats = jax.tree.map(np.asarray, batch_stats)
+
+    def put_pdbn(scope: str, torch_prefix: str):
+        for i in range(len(conditions)):
+            bnp = params[f"{scope}"][f"bns_{i}"]
+            bns = batch_stats[f"{scope}"][f"bns_{i}"]
+            bnp["scale"] = sd[f"{torch_prefix}.bns.{i}.weight"]
+            bnp["bias"] = sd[f"{torch_prefix}.bns.{i}.bias"]
+            bns["mean"] = sd[f"{torch_prefix}.bns.{i}.running_mean"]
+            bns["var"] = sd[f"{torch_prefix}.bns.{i}.running_var"]
+        mod_w = sd.get(f"{torch_prefix}.modulation.1.weight")
+        if mod_w is not None and "modulation" in params[scope]:
+            params[scope]["modulation"]["kernel"] = mod_w.T
+            params[scope]["modulation"]["bias"] = sd[f"{torch_prefix}.modulation.1.bias"]
+
+    if "embedding_table.weight" in sd and "embedding_table" in params:
+        params["embedding_table"]["embedding"] = sd["embedding_table.weight"]
+
+    params["conv_input_weight"] = _port_spconv_weight(sd["conv_input.conv.weight"], 5)
+    put_pdbn("conv_input_bn", "conv_input.bn")
+
+    s = 0
+    while f"down{s}_weight" in params:
+        params[f"down{s}_weight"] = _port_spconv_weight(
+            sd[f"down.{s}.conv.weight"], 2
+        )
+        put_pdbn(f"down{s}_bn", f"down.{s}.bn")
+        params[f"up{s}_weight"] = _port_spconv_weight(sd[f"up.{s}.conv.weight"], 2)
+        put_pdbn(f"up{s}_bn", f"up.{s}.bn")
+        for prefix, tp in ((f"enc{s}", f"enc.{s}"), (f"dec{s}", f"dec.{s}")):
+            i = 0
+            while f"{prefix}_block{i}_conv1" in params:
+                params[f"{prefix}_block{i}_conv1"] = _port_spconv_weight(
+                    sd[f"{tp}.block{i}.conv1.weight"], 3
+                )
+                params[f"{prefix}_block{i}_conv2"] = _port_spconv_weight(
+                    sd[f"{tp}.block{i}.conv2.weight"], 3
+                )
+                put_pdbn(f"{prefix}_block{i}_bn1", f"{tp}.block{i}.bn1")
+                put_pdbn(f"{prefix}_block{i}_bn2", f"{tp}.block{i}.bn2")
+                if f"{prefix}_block{i}_proj" in params:
+                    params[f"{prefix}_block{i}_proj"] = _port_spconv_weight(
+                        sd[f"{tp}.block{i}.proj_conv.weight"], 1
+                    )
+                    put_pdbn(f"{prefix}_block{i}_proj_bn", f"{tp}.block{i}.proj_norm")
+                i += 1
+        s += 1
+    if "final_weight" in params and "final.weight" in sd:
+        params["final_weight"] = _port_spconv_weight(sd["final.weight"], 1)
+        params["final_bias"] = sd["final.bias"]
+    return params, batch_stats

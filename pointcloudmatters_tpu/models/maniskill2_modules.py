@@ -161,7 +161,7 @@ class ManiSkill2DiffusionPolicyBCModule(ManiSkill2ACTBCModule):
     execute the policy's full ``n_action_steps`` window per prediction.
     """
 
-    train_rng_streams = ("noise", "dropout", "crop")
+    train_rng_streams = ("noise", "dropout", "crop", "mask")
 
     def __init__(self, policy, optimizer=None, lr_scheduler=None,
                  train_metrics=None, **hparams):

@@ -332,6 +332,11 @@ class Trainer:
             cb.on_fit_start(self, model)
 
         train_step = self._build_train_step(model)
+        from pointcloudmatters_tpu.utils.profiling import make_profiler
+
+        profiler = make_profiler(self.profiler, self.default_root_dir)
+        if profiler is not None:
+            profiler.start()
         t_fit = time.time()
         log.info(
             f"fit: {self.mesh.devices.size} device(s), {n_train} batches/epoch, "
@@ -392,6 +397,8 @@ class Trainer:
                 log.info(f"early stop at epoch {epoch}")
                 break
 
+        if profiler is not None:
+            profiler.stop()
         for cb in self.callbacks:
             cb.on_fit_end(self, model)
         self.logger.finalize()

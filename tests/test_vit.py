@@ -192,3 +192,152 @@ class TestActWithViT:
                               rngs={"vae": rng, "dropout": rng},
                               mutable=["batch_stats"])
         assert out["a_hat"].shape == (2, 4, 7)
+
+
+class TestMultiViT:
+    def test_global_token_output(self):
+        import jax
+        import jax.numpy as jnp
+
+        from pointcloudmatters_tpu.models.components.img_encoder.multivit import (
+            MultiViTModel,
+            truncated_depth_standardize,
+        )
+
+        m = MultiViTModel(img_size=32, dim_tokens=32, depth=2, num_heads=4)
+        x = jnp.asarray(np.random.RandomState(0).rand(2, 32, 32, 4), jnp.float32)
+        v = m.init(jax.random.PRNGKey(0), x)
+        out = m.apply(v, x)
+        assert out.shape == (2, 32)
+        assert m.num_channels == 32
+
+        # truncated standardization: roughly zero-mean over the kept quantiles
+        d = jnp.asarray(np.random.RandomState(1).rand(2, 16, 16, 1), jnp.float32)
+        sd = truncated_depth_standardize(d)
+        assert abs(float(jnp.mean(sd))) < 0.5
+
+    def test_torch_port(self):
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from pointcloudmatters_tpu.models.components.img_encoder.multivit import (
+            MultiViTModel,
+            load_torch_multimae_state_dict,
+        )
+
+        D, heads, depth, P = 32, 4, 2, 16
+        m = MultiViTModel(img_size=32, dim_tokens=D, depth=depth, num_heads=heads)
+        x = jnp.zeros((1, 32, 32, 4))
+        v = m.init(jax.random.PRNGKey(0), x)
+        sd = {"global_tokens": torch.randn(1, 1, D),
+              # semseg keys must be dropped by the loader
+              "input_adapters.semseg.proj.weight": torch.randn(D, 64, 4, 4)}
+        for mod, ch in (("rgb", 3), ("depth", 1)):
+            sd[f"input_adapters.{mod}.proj.weight"] = torch.randn(D, ch, P, P)
+            sd[f"input_adapters.{mod}.proj.bias"] = torch.randn(D)
+        for i in range(depth):
+            sd[f"encoder.{i}.norm1.weight"] = torch.rand(D)
+            sd[f"encoder.{i}.norm1.bias"] = torch.randn(D)
+            sd[f"encoder.{i}.norm2.weight"] = torch.rand(D)
+            sd[f"encoder.{i}.norm2.bias"] = torch.randn(D)
+            sd[f"encoder.{i}.attn.qkv.weight"] = torch.randn(3 * D, D)
+            sd[f"encoder.{i}.attn.qkv.bias"] = torch.randn(3 * D)
+            sd[f"encoder.{i}.attn.proj.weight"] = torch.randn(D, D)
+            sd[f"encoder.{i}.attn.proj.bias"] = torch.randn(D)
+            sd[f"encoder.{i}.mlp.fc1.weight"] = torch.randn(4 * D, D)
+            sd[f"encoder.{i}.mlp.fc1.bias"] = torch.randn(4 * D)
+            sd[f"encoder.{i}.mlp.fc2.weight"] = torch.randn(D, 4 * D)
+            sd[f"encoder.{i}.mlp.fc2.bias"] = torch.randn(D)
+        ported = load_torch_multimae_state_dict(
+            jax.device_get(v["params"]), sd
+        )
+        out = m.apply({"params": ported}, jnp.ones((1, 32, 32, 4)))
+        np.testing.assert_array_equal(
+            np.asarray(ported["model"]["global_tokens"]),
+            sd["global_tokens"].numpy(),
+        )
+        assert np.all(np.isfinite(np.asarray(out)))
+
+
+class TestPretrainedWiring:
+    def test_pretrained_path_loaded_at_init(self, tmp_path):
+        """BCModule.initial_state ports a torch checkpoint declared via
+        pretrained_path on the backbone."""
+        import jax
+        import jax.numpy as jnp
+        import torch
+
+        from pointcloudmatters_tpu.models.bc_module import BCModule
+        from pointcloudmatters_tpu.models.components.act.act import ACT
+        from pointcloudmatters_tpu.models.components.act.positional_encoding import (
+            PositionEmbeddingSine,
+        )
+        from pointcloudmatters_tpu.models.components.act.transformer import (
+            Transformer,
+            TransformerEncoder,
+        )
+        from pointcloudmatters_tpu.models.components.img_encoder.resnet import (
+            ResNetTorchVision,
+        )
+
+        # synthesize a torchvision resnet18 state dict file
+        sd = {}
+        sd["conv1.weight"] = torch.randn(64, 3, 7, 7)
+        for n, width in (("bn1", 64),):
+            sd[f"{n}.weight"] = torch.rand(width)
+            sd[f"{n}.bias"] = torch.randn(width)
+            sd[f"{n}.running_mean"] = torch.randn(width)
+            sd[f"{n}.running_var"] = torch.rand(width) + 0.5
+        widths = {1: 64, 2: 128, 3: 256, 4: 512}
+        for s_, width in widths.items():
+            for b in range(2):
+                pre = f"layer{s_}.{b}"
+                in_w = width if not (b == 0 and s_ > 1) else width // 2
+                sd[f"{pre}.conv1.weight"] = torch.randn(width, in_w, 3, 3)
+                sd[f"{pre}.conv2.weight"] = torch.randn(width, width, 3, 3)
+                for i in (1, 2):
+                    sd[f"{pre}.bn{i}.weight"] = torch.rand(width)
+                    sd[f"{pre}.bn{i}.bias"] = torch.randn(width)
+                    sd[f"{pre}.bn{i}.running_mean"] = torch.randn(width)
+                    sd[f"{pre}.bn{i}.running_var"] = torch.rand(width) + 0.5
+                if b == 0 and s_ > 1:
+                    sd[f"{pre}.downsample.0.weight"] = torch.randn(width, width // 2, 1, 1)
+                    sd[f"{pre}.downsample.1.weight"] = torch.rand(width)
+                    sd[f"{pre}.downsample.1.bias"] = torch.randn(width)
+                    sd[f"{pre}.downsample.1.running_mean"] = torch.randn(width)
+                    sd[f"{pre}.downsample.1.running_var"] = torch.rand(width) + 0.5
+        ckpt = str(tmp_path / "resnet18.pt")
+        torch.save(sd, ckpt)
+
+        hidden = 32
+        policy = ACT(
+            backbone=ResNetTorchVision(resnet_model="resnet18", channels=3,
+                                       resize_to=32, pretrained_path=ckpt),
+            transformer=Transformer(d_model=hidden, nhead=4,
+                                    num_encoder_layers=1, num_decoder_layers=1,
+                                    dim_feedforward=16,
+                                    return_intermediate_dec=True),
+            encoder=TransformerEncoder(d_model=hidden, nhead=4,
+                                       dim_feedforward=16, num_layers=1),
+            hidden_dim=hidden, num_queries=4, num_cameras=1,
+            action_dim=7, qpos_dim=9,
+            obs_feature_pos_embedding=PositionEmbeddingSine(
+                num_pos_feats=hidden // 2, normalize=True
+            ),
+        )
+        module = BCModule(policy=policy)
+        module._opt_knobs = dict(total_steps=10, gradient_clip_val=None,
+                                 accumulate_grad_batches=1)
+        batch = {
+            "qpos": jnp.zeros((2, 9)),
+            "actions": jnp.zeros((2, 4, 7)),
+            "is_pad": jnp.zeros((2, 4), bool),
+            "image": jnp.zeros((2, 1, 32, 32, 3)),
+        }
+        state = module.initial_state(batch)
+        kernel = np.asarray(state.params["backbone"]["conv1"]["kernel"])
+        np.testing.assert_allclose(
+            kernel, np.transpose(sd["conv1.weight"].numpy(), (2, 3, 1, 0)),
+            atol=1e-6,
+        )
