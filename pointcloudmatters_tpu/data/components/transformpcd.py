@@ -565,6 +565,30 @@ class GridSamplePCD:
         grid_coord = np.floor(scaled_coord).astype(int)
         min_coord = grid_coord.min(0) * np.array(self.grid_size)
         grid_coord = grid_coord - grid_coord.min(0)
+
+        # fused native path (hash + sort + segment + pick in one C++ pass,
+        # `native/pcm_native.cpp`); numpy below is the reference-faithful
+        # fallback
+        if (mode == "train" and self.hash is fnv_hash_vec
+                and "sampled_index" not in data_dict):
+            from pointcloudmatters_tpu.data import native
+
+            idx_native = native.grid_subsample_train(
+                grid_coord, seed=int(np.random.randint(0, 2**31 - 1))
+            )
+            if idx_native is not None:
+                if self.return_grid_coord:
+                    data_dict["grid_coord"] = grid_coord[idx_native]
+                if self.return_min_coord:
+                    data_dict["min_coord"] = min_coord.reshape([1, 3])
+                if self.return_displacement:
+                    data_dict["displacement"] = self._displacement(
+                        scaled_coord, grid_coord, data_dict
+                    )[idx_native]
+                for key_name in self.keys:
+                    data_dict[key_name] = data_dict[key_name][idx_native]
+                return data_dict
+
         key = self.hash(grid_coord)
         idx_sort = np.argsort(key)
         key_sort = key[idx_sort]

@@ -1,0 +1,249 @@
+"""Custom ManiSkill2 env variants — generalization-sweep registrations.
+
+The reference defines ~54 env re-registrations as hand-written subclasses
+(`src/envs/custom_maniskill2/`, ~5,000 LoC): MultiView camera rigs,
+ambient-light sweeps, background/foreground color sweeps, stereo-depth
+noise, and the staged PegInsertionSide-3steps evaluator. All of them are
+mechanical variants of the installed ManiSkill2 task classes, so this module
+generates the same env-ID surface *programmatically* at import time —
+factory functions build the subclass per variant and register it.
+
+Everything here is simulator-side (SAPIEN on the CPU host). Importing
+without ``mani_skill2`` installed is a silent no-op so the TPU training
+stack never depends on the simulator.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pointcloudmatters_tpu.utils.pylogger import RankedLogger
+
+log = RankedLogger(__name__, rank_zero_only=True)
+
+# env-ID surface (reference registrations, `pick_and_place/stack_cube.py:62,
+# 226-330`, `misc/turn_faucet.py`, `mpm/*.py`)
+LIGHT_LEVELS = {
+    "StackCube": ["base", 0.03, 0.0375, 0.05, 0.075, 0.15, 0.6, 1.2, 1.8, 2.4, 3],
+    "TurnFaucet": ["base", 0.03, 0.05, 0.15, 0.6, 1.8, 3.0],
+    "Hang": ["base", 0.03, 0.05, 0.15, 0.6, 1.8, 3.0],
+}
+BACKGROUND_LEVELS = ["base"] + [
+    f"{color}-{level}" for color in ("red", "green")
+    for level in (0.2, 0.4, 0.6, 0.8, 1.0)
+]
+FOREGROUND_LEVELS = ["base"] + [f"redcube-{v}" for v in (0.2, 0.4, 0.6, 0.8)]
+MULTIVIEW_TASKS = [
+    "PickCube", "LiftCube", "StackCube", "TurnFaucet",
+    "PegInsertionSide-3steps", "Hang", "Pour", "Fill", "Excavate",
+]
+DEPTH_NOISE_STDS = [0.01, 0.05]
+MULTIVIEW_ANGLES = [5, 10, 30]
+
+_registered = False
+
+
+def _camera_cfg(CameraConfig, look_at, name, eye, target=(-0.1, 0, 0.1)):
+    pose = look_at(list(eye), list(target))
+    return CameraConfig(name, pose.p, pose.q, 128, 128, np.pi / 2, 0.01, 10)
+
+
+def make_multiview_cameras(CameraConfig, look_at):
+    """4 base cams + left/down ring at 5/10/30 degrees, 128^2, fov pi/2
+    (`pick_and_place/base_env.py:119-188`)."""
+    cams = [
+        _camera_cfg(CameraConfig, look_at, "front_camera", (0.3, 0, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "back_camera", (-0.5, 0.2, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "right_camera", (0, 0.3, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "left_camera", (0, -0.3, 0.6)),
+    ]
+    r = 0.3
+    for angle in MULTIVIEW_ANGLES:
+        a = np.radians(angle)
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"left_camera_{angle}",
+            (r * np.cos(-a), r * np.sin(-a), 0.6),
+        ))
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"down_camera_{angle}",
+            (r * np.cos(-a), 0, 0.6 + r * np.sin(-a)),
+        ))
+    return cams
+
+
+def register_custom_envs() -> bool:
+    """Build + register every variant. Returns False when ManiSkill2 is not
+    installed (silent no-op)."""
+    global _registered
+    if _registered:
+        return True
+    try:
+        from mani_skill2.sensors.camera import CameraConfig
+        from mani_skill2.utils.registration import register_env
+        from mani_skill2.utils.sapien_utils import look_at
+        import mani_skill2.envs.pick_and_place.pick_cube as pc
+        import mani_skill2.envs.pick_and_place.stack_cube as sc
+        import mani_skill2.envs.assembly.peg_insertion_side as peg
+        import mani_skill2.envs.misc.turn_faucet as tf
+    except ImportError as e:
+        log.info(f"mani_skill2 unavailable; custom envs not registered ({e})")
+        return False
+
+    base_classes = {
+        "PickCube": pc.PickCubeEnv,
+        "LiftCube": pc.LiftCubeEnv,
+        "StackCube": sc.StackCubeEnv,
+        "PegInsertionSide": peg.PegInsertionSideEnv,
+        "TurnFaucet": tf.TurnFaucetEnv,
+    }
+    try:  # soft-body (warp) tasks are an optional ManiSkill2 extra
+        import mani_skill2.envs.mpm.hang_env as hang
+        import mani_skill2.envs.mpm.pour_env as pour
+        import mani_skill2.envs.mpm.fill_env as fill
+        import mani_skill2.envs.mpm.excavate_env as exc
+
+        base_classes.update({
+            "Hang": hang.HangEnv, "Pour": pour.PourEnv,
+            "Fill": fill.FillEnv, "Excavate": exc.ExcavateEnv,
+        })
+    except ImportError:
+        log.info("ManiSkill2 soft-body (warp) tasks unavailable; skipping")
+
+    def base_camera_cfg(self):
+        return _camera_cfg(CameraConfig, look_at, "base_camera", (0.3, 0, 0.6))
+
+    # --- staged PegInsertionSide evaluator (`assembly/peg_insertion_side.py:179-199`)
+    def staged_evaluate(self, **kwargs):
+        info = base_classes["PegInsertionSide"].evaluate(self, **kwargs)
+        is_grasped = self.agent.check_grasp(self.peg, max_angle=20)
+        pre_inserted = False
+        if is_grasped:
+            peg_head_wrt_goal = self.goal_pose.inv() * self.peg_head_pose
+            peg_wrt_goal = self.goal_pose.inv() * self.peg.pose
+            if (np.linalg.norm(peg_head_wrt_goal.p[1:]) < 0.01
+                    and np.linalg.norm(peg_wrt_goal.p[1:]) < 0.01):
+                pre_inserted = True
+        info.update(is_grasped=is_grasped, pre_inserted=pre_inserted)
+        return info
+
+    peg3 = type("PegInsertionSide3StepsEnv",
+                (base_classes["PegInsertionSide"],),
+                {"evaluate": staged_evaluate,
+                 "_register_cameras": base_camera_cfg})
+    register_env("PegInsertionSide-3steps-v0", max_episode_steps=200,
+                 override=True)(peg3)
+    base_classes["PegInsertionSide-3steps"] = peg3
+
+    # --- MultiView rigs
+    for task in MULTIVIEW_TASKS:
+        base = base_classes.get(task)
+        if base is None:
+            continue
+        cls = type(f"{task.replace('-', '')}MultiViewEnv", (base,), {
+            "_register_cameras":
+                lambda self: make_multiview_cameras(CameraConfig, look_at),
+        })
+        register_env(f"{task}-MultiView", max_episode_steps=200,
+                     override=True)(cls)
+
+    # --- ambient-light sweeps (`stack_cube.py:226-305`)
+    def make_light_cls(base, intensity):
+        def _setup_lighting(self):
+            if getattr(self, "bg_name", None) is not None:
+                return
+            shadow = self.enable_shadow
+            self._scene.set_ambient_light([intensity] * 3)
+            self._scene.add_directional_light(
+                [1, 1, -1], [1, 1, 1], shadow=shadow, scale=5,
+                shadow_map_size=2048,
+            )
+            self._scene.add_directional_light([0, 0, -1], [1, 1, 1])
+
+        attrs = {"_register_cameras": base_camera_cfg}
+        if intensity != "base":
+            attrs["_setup_lighting"] = _setup_lighting
+        return type(f"{base.__name__}Light", (base,), attrs)
+
+    for task, levels in LIGHT_LEVELS.items():
+        base = base_classes.get(task)
+        if base is None:
+            continue
+        for level in levels:
+            register_env(f"{task}-light-{level}", max_episode_steps=200,
+                         override=True)(make_light_cls(base, level))
+
+    # --- background color sweeps (StackCube, `stack_cube.py:308-...`)
+    def make_background_cls(base, color, strength):
+        def _setup_lighting(self):
+            rgb = ([strength, 0, 0] if color == "red" else [0, strength, 0])
+            self._scene.set_ambient_light(rgb)
+            self._scene.add_directional_light(
+                [1, 1, -1], rgb, shadow=self.enable_shadow, scale=5,
+                shadow_map_size=2048,
+            )
+            self._scene.add_directional_light([0, 0, -1], rgb)
+
+        attrs = {"_register_cameras": base_camera_cfg}
+        if color is not None:
+            attrs["_setup_lighting"] = _setup_lighting
+        return type(f"{base.__name__}Background", (base,), attrs)
+
+    sc_base = base_classes["StackCube"]
+    for level in BACKGROUND_LEVELS:
+        if level == "base":
+            cls = make_background_cls(sc_base, None, None)
+        else:
+            color, strength = level.split("-")
+            cls = make_background_cls(sc_base, color, float(strength))
+        register_env(f"StackCube-background-{level}", max_episode_steps=200,
+                     override=True)(cls)
+
+    # --- foreground cube-color sweeps
+    def make_foreground_cls(base, red_level):
+        def _load_actors(self):
+            self._add_ground(render=self.bg_name is None)
+            self.box_half_size = np.float32([0.02] * 3)
+            red = (red_level, 0, 0) if red_level is not None else (1, 0, 0)
+            self.cubeA = self._build_cube(self.box_half_size, color=red,
+                                          name="cubeA")
+            self.cubeB = self._build_cube(self.box_half_size, color=(0, 1, 0),
+                                          name="cubeB", static=False)
+
+        attrs = {"_register_cameras": base_camera_cfg}
+        if red_level is not None:
+            attrs["_load_actors"] = _load_actors
+        return type(f"{base.__name__}Foreground", (base,), attrs)
+
+    for level in FOREGROUND_LEVELS:
+        red = None if level == "base" else float(level.split("-")[1])
+        register_env(f"StackCube-foreground-{level}", max_episode_steps=200,
+                     override=True)(make_foreground_cls(sc_base, red))
+
+    # --- stereo-depth noise variants (Hang)
+    if "Hang" in base_classes:
+        def make_noise_cls(base, std):
+            def get_obs(self):
+                obs = base.get_obs(self)
+                if isinstance(obs, dict) and "pointcloud" in obs:
+                    xyzw = obs["pointcloud"]["xyzw"]
+                    noise = np.random.normal(0, std, xyzw[..., :3].shape)
+                    obs["pointcloud"]["xyzw"][..., :3] = xyzw[..., :3] + noise
+                return obs
+
+            return type(f"{base.__name__}Noise", (base,),
+                        {"get_obs": get_obs,
+                         "_register_cameras": base_camera_cfg})
+
+        for std in DEPTH_NOISE_STDS:
+            register_env(f"Hang-depth-noise-std{std}", max_episode_steps=200,
+                         override=True)(make_noise_cls(base_classes["Hang"], std))
+
+    _registered = True
+    n = (len(MULTIVIEW_TASKS) + sum(map(len, LIGHT_LEVELS.values()))
+         + len(BACKGROUND_LEVELS) + len(FOREGROUND_LEVELS)
+         + len(DEPTH_NOISE_STDS) + 1)
+    log.info(f"registered ~{n} custom ManiSkill2 env variants")
+    return True
+
+
+register_custom_envs()

@@ -226,3 +226,18 @@ class TestRLBenchTrainingVertical:
         # RLBench modules validate by held-out loss
         val = model.best_val_metrics.compute()
         assert np.isfinite(val["val/loss_best"])
+
+
+class TestCustomEnvRegistry:
+    def test_import_without_simulator_is_noop(self):
+        """The custom env module must import cleanly when mani_skill2 is
+        absent (the TPU host never has the simulator)."""
+        import pointcloudmatters_tpu.envs.custom_maniskill2 as c
+
+        assert c.register_custom_envs() in (True, False)
+        # env-ID surface bookkeeping matches the reference inventory scale
+        n_light = sum(map(len, c.LIGHT_LEVELS.values()))
+        assert n_light == 25
+        assert len(c.BACKGROUND_LEVELS) == 11
+        assert len(c.FOREGROUND_LEVELS) == 5
+        assert len(c.MULTIVIEW_TASKS) == 9
