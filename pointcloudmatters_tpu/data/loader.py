@@ -72,23 +72,37 @@ class DataLoader:
             for b in batches:
                 yield self._make_batch(b)
             return
-        # pipelined prefetch: workers build whole batches ahead of consumption
+        # pipelined prefetch: workers build batches a bounded window ahead of
+        # consumption (submitting the whole epoch upfront would accumulate
+        # every completed batch in memory)
         q: queue.Queue = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
+        window = max(self.num_workers + self.prefetch_batches, 2)
 
         def producer():
+            from collections import deque
+
             with ThreadPoolExecutor(max_workers=self.num_workers) as pool:
-                futures = [pool.submit(self._make_batch, b) for b in batches]
-                for fut in futures:
-                    if stop.is_set():
-                        for f in futures:
-                            f.cancel()
-                        return
-                    try:
+                pending: deque = deque()
+                it = iter(batches)
+                try:
+                    while True:
+                        while len(pending) < window:
+                            nxt = next(it, None)
+                            if nxt is None:
+                                break
+                            pending.append(pool.submit(self._make_batch, nxt))
+                        if not pending:
+                            break
+                        fut = pending.popleft()
+                        if stop.is_set():
+                            for f in pending:
+                                f.cancel()
+                            return
                         q.put(("ok", fut.result()))
-                    except Exception as e:  # propagate to consumer
-                        q.put(("err", e))
-                        return
+                except Exception as e:  # propagate to consumer
+                    q.put(("err", e))
+                    return
             q.put(("done", None))
 
         thread = threading.Thread(target=producer, daemon=True)

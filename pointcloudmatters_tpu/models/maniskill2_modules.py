@@ -25,6 +25,35 @@ from pointcloudmatters_tpu.utils.pylogger import RankedLogger
 
 log = RankedLogger(__name__, rank_zero_only=True)
 
+def _reward_figure_logger(trainer):
+    """Per-episode reward curves into TensorBoard (reference
+    `maniskill2_act_bc_module.py:298-304`); no-op without matplotlib/TB."""
+    figure_loggers = [
+        lg for lg in getattr(trainer.logger, "loggers", [])
+        if hasattr(lg, "log_figure")
+    ]
+    if not figure_loggers:
+        return None
+    try:
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+    except ImportError:
+        return None
+
+    def on_episode_end(idx, success, rewards):
+        fig = plt.figure()
+        ax = fig.add_subplot(111)
+        ax.plot(rewards)
+        ax.set_title(f"episode {idx} success={success}")
+        for lg in figure_loggers:
+            lg.log_figure(f"val/rewards_{idx}", fig, trainer.global_step)
+        plt.close(fig)
+
+    return on_episode_end
+
+
 
 class ManiSkill2ACTBCModule(BCModule):
     def __init__(
@@ -128,6 +157,7 @@ class ManiSkill2ACTBCModule(BCModule):
                 num_queries=policy_cfg.num_queries,
                 temporal_agg=self.temporal_agg,
                 pad_multiple=getattr(datamodule, "pad_multiple", 512),
+                on_episode_end=_reward_figure_logger(trainer),
             )
         finally:
             env.close()
@@ -247,6 +277,7 @@ class ManiSkill2DiffusionPolicyBCModule(ManiSkill2ACTBCModule):
                 n_episodes=n_episodes,
                 n_obs_steps=self.policy.n_obs_steps,
                 pad_multiple=getattr(datamodule, "pad_multiple", 512),
+                on_episode_end=_reward_figure_logger(trainer),
             )
         finally:
             env.close()

@@ -157,3 +157,134 @@ def build_optimizer(
     return optax.multi_transform(
         {i: g for i, g in enumerate(groups)}, label_fn
     )
+
+
+# ---------------------------------------------------------------------------
+# timm-style grouping (reference `optimizer.py:205-321`)
+# ---------------------------------------------------------------------------
+
+def param_groups_weight_decay(params: Any, weight_decay: float,
+                              no_weight_decay_list: Sequence[str] = ()):
+    """Mask: 1-D params (biases, norms) and listed names get no decay
+    (reference `param_groups_weight_decay`)."""
+    no_decay = set(no_weight_decay_list)
+
+    def decay_flag(path, p):
+        name = _path_str(path)
+        return not (np.ndim(p) <= 1 or name in no_decay)
+
+    import numpy as np  # local to keep module import light
+
+    return jax.tree_util.tree_map_with_path(decay_flag, params)
+
+
+def _layer_id_from_path(name: str, num_layers: int) -> int:
+    """Heuristic trunk grouping: embedding-ish params -> 0, numbered blocks ->
+    1 + index, heads/unmatched -> num_layers (reference ``_layer_map``)."""
+    import re
+
+    if any(k in name for k in ("patch_embed", "cls_token", "pos_embed",
+                               "embedding", "conv_input", "conv1/")):
+        return 0
+    m = re.search(r"(?:blocks?|layers?|encoder)[._/]?(\d+)", name)
+    if m:
+        return min(1 + int(m.group(1)), num_layers - 1)
+    return num_layers - 1
+
+
+def param_groups_layer_decay(params: Any, weight_decay: float = 0.05,
+                             layer_decay: float = 0.75,
+                             no_weight_decay_list: Sequence[str] = (),
+                             num_layers: int = 14):
+    """(scale_tree, decay_mask_tree) for BEiT-style layer-wise lr decay
+    (reference `optimizer.py:205-270`)."""
+    import numpy as np
+
+    no_decay = set(no_weight_decay_list)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    max_layer = max(
+        (_layer_id_from_path(_path_str(p), num_layers) for p, _ in flat),
+        default=0,
+    )
+
+    def scale(path, p):
+        lid = _layer_id_from_path(_path_str(path), num_layers)
+        return float(layer_decay ** (max_layer - lid))
+
+    def decay_flag(path, p):
+        name = _path_str(path)
+        return not (np.ndim(p) <= 1 or name in no_decay)
+
+    scales = jax.tree_util.tree_map_with_path(scale, params)
+    mask = jax.tree_util.tree_map_with_path(decay_flag, params)
+    return scales, mask
+
+
+def build_optimizer_v2(
+    cfg: dict,
+    params: Any,
+    weight_decay: float = 0.0,
+    lr_schedule: Optional[Callable] = None,
+    **kwargs,
+) -> optax.GradientTransformation:
+    """timm-style builder (reference `optimizer.py:272-321`): optional
+    layer-wise lr decay and bias/norm weight-decay filtering, expressed as
+    optax masks and a per-leaf lr-scale transform."""
+    cfg = dict(cfg)
+    opt_type = cfg.pop("type")
+    layer_decay = cfg.pop("layer_decay", None)
+    filter_bias_and_bn = cfg.pop("filter_bias_and_bn", True)
+    cfg.pop("foreach", None)
+    wd = float(cfg.pop("weight_decay", weight_decay) or 0.0)
+    base_lr = float(cfg.pop("lr"))
+    kwargs = {**cfg, **kwargs}
+
+    lr: ScalarOrSchedule = lr_schedule if lr_schedule is not None else base_lr
+
+    decay_mask = None
+    if wd and filter_bias_and_bn:
+        decay_mask = param_groups_weight_decay(params, wd)
+
+    scales = None
+    if layer_decay is not None:
+        scales, decay_mask = param_groups_layer_decay(
+            params, weight_decay=wd, layer_decay=float(layer_decay)
+        )
+
+    name = opt_type if isinstance(opt_type, str) else opt_type.__name__
+    if name.lower() == "adamw":
+        tx = optax.adamw(
+            learning_rate=lr,
+            b1=kwargs.get("betas", (0.9, 0.999))[0],
+            b2=kwargs.get("betas", (0.9, 0.999))[1],
+            eps=kwargs.get("eps", 1e-8),
+            weight_decay=wd,
+            mask=decay_mask,
+        )
+    else:
+        parts = []
+        if wd:
+            parts.append(optax.add_decayed_weights(wd, mask=decay_mask))
+        if name.lower() == "sgd":
+            if kwargs.get("momentum"):
+                parts.append(optax.trace(decay=kwargs["momentum"],
+                                         nesterov=kwargs.get("nesterov", False)))
+        elif name.lower() == "adam":
+            betas = kwargs.get("betas", (0.9, 0.999))
+            parts.append(optax.scale_by_adam(
+                b1=betas[0], b2=betas[1], eps=kwargs.get("eps", 1e-8)
+            ))
+        else:
+            raise KeyError(f"{name} is not in the optimizers registry")
+        parts.append(optax.scale_by_learning_rate(lr))
+        tx = optax.chain(*parts)
+
+    if scales is not None:
+        # per-leaf lr scaling: multiply updates by the layer scale
+        def scale_updates(updates, state, params=None):
+            return jax.tree.map(lambda u, s: u * s, updates, scales), state
+
+        tx = optax.chain(
+            tx, optax.GradientTransformation(lambda _: (), scale_updates)
+        )
+    return tx

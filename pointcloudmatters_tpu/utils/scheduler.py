@@ -12,7 +12,7 @@ jit-compatible inside the update.
 from __future__ import annotations
 
 import math
-from typing import Callable, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax.numpy as jnp
 import optax
@@ -133,3 +133,54 @@ def build_scheduler(cfg: dict, total_steps: int, base_lr: float) -> Schedule:
     return SCHEDULERS.get(sched_type)(
         base_lr=base_lr, total_steps=total_steps, **cfg
     )
+
+
+@SCHEDULERS.register_module(name="CosineLRScheduler")
+def cosine_lr_scheduler(
+    base_lr: float,
+    total_steps: int,
+    t_initial: Optional[int] = None,
+    lr_min: float = 0.0,
+    cycle_mul: float = 1.0,
+    cycle_decay: float = 1.0,
+    cycle_limit: int = 1,
+    warmup_t: int = 0,
+    warmup_lr_init: float = 0.0,
+    warmup_prefix: bool = False,
+    k_decay: float = 1.0,
+) -> Schedule:
+    """timm ``CosineLRScheduler`` semantics (reference
+    `utils/scheduler_timm.py:156`): linear warmup then cosine cycles with
+    per-cycle decay. Single-cycle fast path == optax warmup-cosine."""
+    t_initial = int(t_initial or total_steps)
+    if cycle_mul == 1.0 and cycle_limit == 1 and k_decay == 1.0:
+        return optax.warmup_cosine_decay_schedule(
+            init_value=warmup_lr_init, peak_value=base_lr,
+            warmup_steps=max(warmup_t, 0),
+            decay_steps=t_initial + (warmup_t if warmup_prefix else 0),
+            end_value=lr_min,
+        )
+
+    def schedule(step):
+        t = jnp.asarray(step, jnp.float32)
+        in_warmup = t < warmup_t
+        warm = warmup_lr_init + (base_lr - warmup_lr_init) * t / jnp.maximum(warmup_t, 1)
+        tt = jnp.where(warmup_prefix, t - warmup_t, t)
+        # locate the cycle (geometric lengths when cycle_mul != 1)
+        if cycle_mul == 1.0:
+            i = jnp.floor(tt / t_initial)
+            t_i = t_initial
+            t_curr = tt - i * t_initial
+        else:
+            i = jnp.floor(jnp.log1p(tt / t_initial * (cycle_mul - 1))
+                          / jnp.log(cycle_mul))
+            t_i = cycle_mul ** i * t_initial
+            t_curr = tt - (1 - cycle_mul ** i) / (1 - cycle_mul) * t_initial
+        i = jnp.minimum(i, cycle_limit - 1)
+        gamma = cycle_decay ** i
+        lr_max = base_lr * gamma
+        frac = (t_curr ** k_decay) / (t_i ** k_decay)
+        cos_lr = lr_min + 0.5 * (lr_max - lr_min) * (1 + jnp.cos(math.pi * frac))
+        return jnp.where(in_warmup, warm, cos_lr)
+
+    return schedule

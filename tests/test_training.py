@@ -334,3 +334,88 @@ class TestRolloutValidation:
         trainer.fit(model, datamodule=dm)
         out = model.best_val_metrics.compute()
         assert out["val/mean_success"] == 1.0
+
+
+class TestOptimizerV2:
+    def test_layer_decay_scales(self):
+        import jax
+
+        from pointcloudmatters_tpu.utils.optimizer import (
+            build_optimizer_v2,
+            param_groups_layer_decay,
+        )
+
+        params = {
+            "patch_embed": {"kernel": jnp.ones((3, 4))},
+            "blocks_0": {"w": jnp.ones((4, 4)), "b": jnp.ones((4,))},
+            "blocks_1": {"w": jnp.ones((4, 4))},
+            "head": {"w": jnp.ones((4, 2))},
+        }
+        scales, mask = param_groups_layer_decay(params, layer_decay=0.5,
+                                                num_layers=4)
+        # embedding layer 0, blocks 1/2, head = max layer -> scale 1
+        assert scales["head"]["w"] == 1.0
+        assert scales["blocks_1"]["w"] == 2 * scales["blocks_0"]["w"]
+        assert scales["patch_embed"]["kernel"] == 0.5 ** 3
+        # 1-D params excluded from decay
+        assert mask["blocks_0"]["b"] is False
+        assert mask["blocks_0"]["w"] is True
+
+        tx = build_optimizer_v2(
+            {"type": "AdamW", "lr": 1e-3, "weight_decay": 0.05,
+             "layer_decay": 0.5}, params,
+        )
+        state = tx.init(params)
+        grads = jax.tree.map(jnp.ones_like, params)
+        updates, _ = tx.update(grads, state, params)
+        # head update magnitude > patch_embed update magnitude (layer decay)
+        assert abs(float(updates["head"]["w"][0, 0])) > abs(
+            float(updates["patch_embed"]["kernel"][0, 0])
+        )
+
+
+class TestTimmCosine:
+    def test_warmup_then_cosine(self):
+        from pointcloudmatters_tpu.utils.scheduler import build_scheduler
+
+        sch = build_scheduler(
+            {"type": "CosineLRScheduler", "warmup_t": 10,
+             "warmup_lr_init": 1e-6}, 100, 1e-3,
+        )
+        assert float(sch(0)) < 1e-4
+        np.testing.assert_allclose(float(sch(10)), 1e-3, rtol=1e-3)
+        assert float(sch(100)) < 1e-5
+
+    def test_multi_cycle_decay(self):
+        from pointcloudmatters_tpu.utils.scheduler import build_scheduler
+
+        sch = build_scheduler(
+            {"type": "CosineLRScheduler", "cycle_limit": 3,
+             "cycle_decay": 0.5, "cycle_mul": 1.0, "t_initial": 40,
+             "k_decay": 1.0 + 1e-9}, 120, 1e-3,
+        )
+        # cycle restarts at t=40 with halved peak
+        np.testing.assert_allclose(float(sch(0)), 1e-3, rtol=1e-4)
+        np.testing.assert_allclose(float(sch(40)), 5e-4, rtol=1e-3)
+
+
+class TestTransformerForDiffusion:
+    def test_shapes_and_conditioning(self):
+        import jax
+
+        from pointcloudmatters_tpu.models.components.diffusion_policy.diffusion.transformer_for_diffusion import (
+            TransformerForDiffusion,
+        )
+
+        m = TransformerForDiffusion(
+            input_dim=7, output_dim=7, horizon=8, n_obs_steps=2, cond_dim=10,
+            n_layer=2, n_head=4, n_emb=32, n_cond_layers=1, causal_attn=True,
+        )
+        x = jnp.zeros((2, 8, 7))
+        t = jnp.asarray([1, 3])
+        cond = jnp.ones((2, 2, 10))
+        v = m.init(jax.random.PRNGKey(0), x, t, cond=cond)
+        out = m.apply(v, x, t, cond=cond)
+        assert out.shape == (2, 8, 7)
+        out2 = m.apply(v, x, t, cond=cond * 2)
+        assert not np.allclose(np.asarray(out), np.asarray(out2))
