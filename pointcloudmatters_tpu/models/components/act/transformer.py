@@ -22,10 +22,12 @@ does not pay for the reference's wasted 6/7 of decoder compute.
 
 from __future__ import annotations
 
+import functools
 from typing import Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from pointcloudmatters_tpu.models.components.nn_utils import activation_fn
@@ -36,6 +38,70 @@ def _attention_mask(key_padding_mask: Optional[jax.Array]) -> Optional[jax.Array
     if key_padding_mask is None:
         return None
     return ~key_padding_mask[:, None, None, :]
+
+
+class EfficientMHA(nn.Module):
+    """Multi-head attention, parameter-compatible with
+    ``nn.MultiHeadDotProductAttention`` (query/key/value/out DenseGeneral
+    trees) but with a bandwidth-frugal attention-weight dropout.
+
+    flax's dropout draws (B, H, L, L) *float32* uniforms — for 2k point
+    tokens that is 4.3 GB of generated randomness per layer, the single
+    largest HBM consumer in the ACT train step (profiled at 80 ms/layer on
+    v5e). Here the keep-mask comes from uint8 random bits (4x less traffic);
+    the drop rate is quantized to ceil(rate*256)/256 (0.1 -> 0.1016), which
+    is noise at these rates. The attention core is jax.checkpoint'ed, so only
+    q/k/v are saved for backward — the memory-frugal choice for very long
+    token sequences (measured ~6% slower than flax MHA at 2k tokens on v5e,
+    so it is NOT the default; select it when HBM, not time, binds).
+    """
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, inputs_q, inputs_k, inputs_v, mask=None,
+                 deterministic: bool = True) -> jax.Array:
+        H = self.num_heads
+        Dh = self.d_model // H
+        dense = functools.partial(
+            nn.DenseGeneral, features=(H, Dh), axis=-1,
+        )
+        q = dense(name="query")(inputs_q)   # (B, L, H, Dh)
+        k = dense(name="key")(inputs_k)
+        v = dense(name="value")(inputs_v)
+        drop_rng = (
+            self.make_rng("dropout")
+            if self.dropout_rate > 0.0 and not deterministic else None
+        )
+
+        # checkpointed core: only q/k/v (+rng key) are saved for the backward
+        # pass; the (B, H, L, L) logits/probs/keep-mask are recomputed. At 2k
+        # point tokens those are 4.3 GB *per layer* — saving them OOMs v5e.
+        @jax.checkpoint
+        def core(q, k, v, key):
+            logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.asarray(
+                np.sqrt(Dh), q.dtype
+            )
+            if mask is not None:
+                logits = jnp.where(
+                    mask, logits, jnp.asarray(-1e9, logits.dtype)
+                )
+            probs = jax.nn.softmax(logits, axis=-1)
+            if key is not None:
+                threshold = int(np.ceil(self.dropout_rate * 256))
+                keep_prob = (256 - threshold) / 256.0
+                bits = jax.random.bits(key, probs.shape, jnp.uint8)
+                probs = jnp.where(
+                    bits >= threshold, probs / keep_prob, 0.0
+                ).astype(probs.dtype)
+            return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+        out = core(q, k, v, drop_rng)
+        return nn.DenseGeneral(
+            features=self.d_model, axis=(-2, -1), name="out"
+        )(out)
 
 
 class TransformerEncoderLayer(nn.Module):
@@ -175,6 +241,11 @@ class TransformerEncoder(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     num_layers: int = 4
+    # optionally rematerialize layers in the backward pass (trades ~30%
+    # encoder FLOPs for not saving per-layer attention residuals). Off by
+    # default: with the uint8-dropout attention the recompute transients can
+    # exceed v5e HBM at the flagship batch, and measured wins were nil.
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -184,12 +255,17 @@ class TransformerEncoder(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        layer_cls = TransformerEncoderLayer
+        if self.remat:
+            layer_cls = nn.remat(
+                TransformerEncoderLayer, static_argnums=(4,),
+                prevent_cse=False,
+            )
         for i in range(self.num_layers):
-            src = TransformerEncoderLayer(
+            src = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
                 self.activation, self.normalize_before, name=f"layers_{i}",
-            )(src, pos=pos, key_padding_mask=key_padding_mask,
-              deterministic=deterministic)
+            )(src, pos, key_padding_mask, deterministic)
         if self.normalize_before:
             src = nn.LayerNorm(name="norm")(src)
         return src

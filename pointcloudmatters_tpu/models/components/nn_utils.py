@@ -95,19 +95,21 @@ class MaskedBatchNorm(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xf = x.astype(jnp.float32)
+            # f32-accumulating reductions (dtype=...) keep the statistics
+            # exact WITHOUT materializing an f32 copy of x — for the grouped
+            # point tensors this op normalizes, that copy is gigabytes
             reduce_axes = tuple(range(x.ndim - 1))
             if mask is None:
                 count = jnp.asarray(np.prod(x.shape[:-1]), jnp.float32)
-                total = jnp.sum(xf, axis=reduce_axes)
-                total_sq = jnp.sum(xf * xf, axis=reduce_axes)
+                total = jnp.sum(x, axis=reduce_axes, dtype=jnp.float32)
+                total_sq = jnp.sum(x * x, axis=reduce_axes, dtype=jnp.float32)
             else:
-                m = jnp.broadcast_to(
-                    mask.astype(jnp.float32)[..., None], x.shape
+                m = mask.astype(x.dtype)[..., None]
+                count = jnp.sum(mask.astype(jnp.float32))
+                total = jnp.sum(x * m, axis=reduce_axes, dtype=jnp.float32)
+                total_sq = jnp.sum(
+                    (x * m) * x, axis=reduce_axes, dtype=jnp.float32
                 )
-                count = jnp.sum(m[..., 0])
-                total = jnp.sum(xf * m, axis=reduce_axes)
-                total_sq = jnp.sum(xf * xf * m, axis=reduce_axes)
             if self.axis_name is not None:
                 total = jax.lax.psum(total, self.axis_name)
                 total_sq = jax.lax.psum(total_sq, self.axis_name)
@@ -124,9 +126,13 @@ class MaskedBatchNorm(nn.Module):
                     (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
-        y = (x.astype(jnp.float32) - mean) * jax.lax.rsqrt(var + self.eps)
-        y = y * scale + bias
-        return y.astype(self.dtype or x.dtype)
+        # fold (mean, var, scale, bias) into one per-channel affine applied in
+        # the compute dtype: y = x * eff_scale + eff_bias
+        eff_scale = scale * jax.lax.rsqrt(var + self.eps)
+        eff_bias = bias - mean * eff_scale
+        out_dtype = self.dtype or x.dtype
+        y = x * eff_scale.astype(x.dtype) + eff_bias.astype(x.dtype)
+        return y.astype(out_dtype)
 
 
 class FrozenBatchNorm(nn.Module):
