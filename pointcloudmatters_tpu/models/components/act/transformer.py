@@ -125,7 +125,7 @@ class TransformerEncoderLayer(nn.Module):
             qkv_features=self.d_model,
             out_features=self.d_model,
             dropout_rate=self.dropout,
-            broadcast_dropout=False,
+            broadcast_dropout=True,
             name="self_attn",
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
@@ -177,7 +177,7 @@ class TransformerDecoderLayer(nn.Module):
             qkv_features=self.d_model,
             out_features=self.d_model,
             dropout_rate=self.dropout,
-            broadcast_dropout=False,
+            broadcast_dropout=True,
             name="self_attn",
         )
         cross_attn = nn.MultiHeadDotProductAttention(
@@ -185,7 +185,7 @@ class TransformerDecoderLayer(nn.Module):
             qkv_features=self.d_model,
             out_features=self.d_model,
             dropout_rate=self.dropout,
-            broadcast_dropout=False,
+            broadcast_dropout=True,
             name="multihead_attn",
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
