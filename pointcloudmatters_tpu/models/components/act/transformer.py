@@ -31,6 +31,7 @@ import numpy as np
 from flax import linen as nn
 
 from pointcloudmatters_tpu.models.components.nn_utils import activation_fn
+from pointcloudmatters_tpu.ops.attention import make_flash_attention_fn
 
 
 def _attention_mask(key_padding_mask: Optional[jax.Array]) -> Optional[jax.Array]:
@@ -111,6 +112,11 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
+    # "flash": run the attention core as the Pallas flash kernel with
+    # in-kernel broadcast dropout (ops/flash_attention.py) — same parameters,
+    # same math, no (B, H, L, L) HBM tensor. Auto-falls back to dense off-TPU
+    # and for short sequences (ops/attention.py).
+    attention_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -120,6 +126,9 @@ class TransformerEncoderLayer(nn.Module):
         key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        attn_kwargs = {}
+        if self.attention_impl == "flash":
+            attn_kwargs["attention_fn"] = make_flash_attention_fn()
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
@@ -127,6 +136,7 @@ class TransformerEncoderLayer(nn.Module):
             dropout_rate=self.dropout,
             broadcast_dropout=True,
             name="self_attn",
+            **attn_kwargs,
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
         ffn_out = nn.Dense(self.d_model, name="linear2")
@@ -246,6 +256,7 @@ class TransformerEncoder(nn.Module):
     # default: with the uint8-dropout attention the recompute transients can
     # exceed v5e HBM at the flagship batch, and measured wins were nil.
     remat: bool = False
+    attention_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -264,7 +275,8 @@ class TransformerEncoder(nn.Module):
         for i in range(self.num_layers):
             src = layer_cls(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                self.activation, self.normalize_before, name=f"layers_{i}",
+                self.activation, self.normalize_before,
+                attention_impl=self.attention_impl, name=f"layers_{i}",
             )(src, pos, key_padding_mask, deterministic)
         if self.normalize_before:
             src = nn.LayerNorm(name="norm")(src)
@@ -335,6 +347,10 @@ class Transformer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     return_intermediate_dec: bool = False
+    # encoder self-attention implementation ("dense" | "flash"); the decoder
+    # stays dense — its query side is ~chunk_size tokens and the flash
+    # adapter would route it to dense anyway
+    attention_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -369,7 +385,7 @@ class Transformer(nn.Module):
         memory = TransformerEncoder(
             self.d_model, self.nhead, self.dim_feedforward, self.dropout,
             self.activation, self.normalize_before, self.num_encoder_layers,
-            name="encoder",
+            attention_impl=self.attention_impl, name="encoder",
         )(src, pos=pos, key_padding_mask=key_padding_mask,
           deterministic=deterministic)
 
