@@ -147,7 +147,10 @@ class TransformerEncoderLayer(nn.Module):
         mask = _attention_mask(key_padding_mask)
 
         def with_pos(x):
-            return x if pos is None else x + pos
+            # cast: sinusoid/coord tables are built f32; letting them promote
+            # x would silently run the whole attention stack (and everything
+            # downstream of the residual) in f32 under bf16-mixed
+            return x if pos is None else x + pos.astype(x.dtype)
 
         if self.normalize_before:
             x = norm1(src)
@@ -208,7 +211,8 @@ class TransformerDecoderLayer(nn.Module):
         mem_mask = _attention_mask(memory_key_padding_mask)
 
         def with_pos(x, p):
-            return x if p is None else x + p
+            # see encoder-layer note: keep the compute dtype, don't promote
+            return x if p is None else x + p.astype(x.dtype)
 
         if self.normalize_before:
             x = norm1(tgt)

@@ -36,7 +36,16 @@ from pointcloudmatters_tpu.ops.flash_attention import (
     flash_attention,
 )
 
-__all__ = ["make_flash_attention_fn"]
+__all__ = ["make_flash_attention_fn", "FLASH_TILE", "flash_token_padding"]
+
+# default (q, kv) tile edge; also the alignment callers can pre-pad to so the
+# adapter's per-layer pad/slice becomes a no-op (see TransformerEncoder)
+FLASH_TILE = 512
+
+
+def flash_token_padding(seq_len: int) -> int:
+    """Padded sequence length the flash path would use for ``seq_len``."""
+    return -(-seq_len // FLASH_TILE) * FLASH_TILE
 
 
 def _block_sizes(bq: int, bk: int) -> BlockSizes:
@@ -58,7 +67,8 @@ def _pallas_enabled() -> bool:
 
 
 def make_flash_attention_fn(
-    block_q: int = 512, block_k: int = 512, min_seq_len: int = 1024
+    block_q: int = FLASH_TILE, block_k: int = FLASH_TILE,
+    min_seq_len: int = 1024,
 ):
     """Returns an ``attention_fn`` for ``nn.MultiHeadDotProductAttention``.
 
