@@ -75,17 +75,29 @@ def farthest_point_sampling_padded_pallas(
     xyz: jax.Array, mask: jax.Array, npoints: int
 ) -> jax.Array:
     """Drop-in fused replacement for
-    ``pointops.farthest_point_sampling_padded`` on TPU."""
+    ``pointops.farthest_point_sampling_padded`` on TPU.
+
+    The batch is tiled over the grid so VMEM holds only a block of clouds at
+    a time (the whole 10k-point flagship batch at B=64 no longer fits the
+    16 MB scoped-vmem budget in one shot)."""
     B, N, _ = xyz.shape
     # f32 geometry regardless of the surrounding compute dtype (see pallas_knn)
     x = jnp.moveaxis(xyz.astype(jnp.float32), -1, 0)  # (3, B, N)
     validf = mask.astype(jnp.float32)
+    # block: ~8 clouds of 10k points ≈ 2.5 MB resident per grid step. Mosaic
+    # requires the sublane block dim to be a multiple of 8 (or the full dim),
+    # so odd batches fall back to one whole-batch step (old behavior).
+    bb = next((b for b in (8, 16, 24) if B % b == 0), B)
     return pl.pallas_call(
         functools.partial(_fps_kernel, npoints=npoints),
+        grid=(B // bb,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec((3, bb, N), lambda b: (0, b, 0)),
+            pl.BlockSpec((bb, N), lambda b: (b, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((bb, npoints), lambda b: (b, 0)),
         out_shape=jax.ShapeDtypeStruct((B, npoints), jnp.int32),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel",)
+        ),
     )(x, validf)
