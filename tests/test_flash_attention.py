@@ -146,3 +146,38 @@ class TestFlashDropout:
         glo = jax.grad(lambda *a: jnp.sum(dense(*a, "bfloat16") * w), (0, 1, 2))(q, k, v)
         for name, a, hi, lo in zip("qkv", gf, ghi, glo):
             assert float(jnp.abs(a - hi).mean()) < 2 * float(jnp.abs(lo - hi).mean()), name
+
+
+class TestAdapterFallback:
+    """CPU-runnable: the flax adapter must route to dense off-TPU and for
+    short sequences, bit-matching nn.dot_product_attention."""
+
+    def test_dense_fallback_matches_flax(self):
+        from flax import linen as nn
+        from pointcloudmatters_tpu.ops.attention import make_flash_attention_fn
+
+        rng = np.random.RandomState(0)
+        q, k, v = (jnp.asarray(rng.randn(2, 64, 4, 16), jnp.float32)
+                   for _ in range(3))
+        fn = make_flash_attention_fn()
+        got = fn(q, k, v, deterministic=True)
+        want = nn.dot_product_attention(q, k, v)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(want))
+
+    def test_mha_module_parity_dense_vs_flash_config(self):
+        """Off-TPU, attention_impl='flash' layers must equal dense ones
+        parameter-for-parameter (the adapter falls back)."""
+        from pointcloudmatters_tpu.models.components.act.transformer import (
+            TransformerEncoderLayer,
+        )
+
+        rng = np.random.RandomState(1)
+        x = jnp.asarray(rng.randn(2, 40, 32), jnp.float32)
+        la = TransformerEncoderLayer(d_model=32, nhead=4, dim_feedforward=64,
+                                     attention_impl="dense")
+        lb = TransformerEncoderLayer(d_model=32, nhead=4, dim_feedforward=64,
+                                     attention_impl="flash")
+        params = la.init(jax.random.key(0), x, deterministic=True)
+        oa = la.apply(params, x, deterministic=True)
+        ob = lb.apply(params, x, deterministic=True)
+        np.testing.assert_allclose(np.asarray(oa), np.asarray(ob), atol=1e-6)
