@@ -136,7 +136,11 @@ class ConditionalUnet1D(nn.Module):
         timesteps = jnp.broadcast_to(
             jnp.atleast_1d(jnp.asarray(timestep)), (sample.shape[0],)
         )
+        # sinusoids are computed in f32 for timestep resolution; cast before
+        # the MLP or the f32 conditioning promotes the whole UNet (FiLM
+        # scale/bias and every residual block) to f32 under bf16-mixed
         t_emb = SinusoidalPosEmb(dsed, name="pos_emb")(timesteps)
+        t_emb = t_emb.astype(sample.dtype)
         t_emb = nn.Dense(dsed * 4, name="time_mlp1")(t_emb)
         t_emb = nn.Dense(dsed, name="time_mlp2")(mish(t_emb))
         global_feature = t_emb

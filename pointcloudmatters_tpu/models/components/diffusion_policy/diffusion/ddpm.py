@@ -83,7 +83,12 @@ class DDPMScheduler:
         abar = jnp.asarray(self.alphas_cumprod)[timesteps]
         while abar.ndim < sample.ndim:
             abar = abar[..., None]
-        return jnp.sqrt(abar) * sample + jnp.sqrt(1.0 - abar) * noise
+        # mix in f32 for schedule precision, return the sample's dtype so the
+        # f32 coefficients don't promote the denoiser input under bf16-mixed
+        out = jnp.sqrt(abar) * sample.astype(jnp.float32) + jnp.sqrt(
+            1.0 - abar
+        ) * noise.astype(jnp.float32)
+        return out.astype(sample.dtype)
 
     # -- reverse process ----------------------------------------------------
     def inference_timesteps(self, num_inference_steps: int) -> np.ndarray:
@@ -124,4 +129,7 @@ class DDPMScheduler:
             beta_t * (1.0 - abar_prev) / (1.0 - abar_t), 1e-20, None
         )
         add = jnp.where(timestep > 0, jnp.sqrt(variance), 0.0)
-        return mean + add * noise
+        # keep the sampling loop carry in the sample's dtype (the f32
+        # schedule math would otherwise promote the trajectory after one
+        # iteration of the nn.while_loop)
+        return (mean + add * noise).astype(sample.dtype)

@@ -90,7 +90,11 @@ class TransformerForDiffusion(nn.Module):
         B, T = sample.shape[0], sample.shape[1]
         obs_as_cond = self.cond_dim > 0
         timesteps = jnp.broadcast_to(jnp.atleast_1d(jnp.asarray(timestep)), (B,))
+        # cast the f32 sinusoids before the MLP so the conditioning token
+        # doesn't promote the whole transformer to f32 under bf16-mixed
+        # (see conditional_unet1d.py)
         time_emb = SinusoidalPosEmb(self.n_emb, name="time_pos")(timesteps)
+        time_emb = time_emb.astype(sample.dtype)
         time_emb = nn.Dense(self.n_emb * 4, name="time_fc1")(time_emb)
         time_emb = nn.Dense(self.n_emb, name="time_fc2")(
             time_emb * jnp.tanh(jax.nn.softplus(time_emb))

@@ -329,7 +329,14 @@ class Trainer:
         self.estimated_stepping_batches = opt_steps_per_epoch * self.max_epochs
 
         # one example batch initializes params (shapes only; discarded after)
-        example_batch = next(iter(train_loader))
+        try:
+            example_batch = next(iter(train_loader))
+        except StopIteration:
+            raise RuntimeError(
+                "train dataloader yielded no batches — the dataset has fewer "
+                "samples than batch_size (drop_last drops the remainder); "
+                "lower data.train.batch_size or add data"
+            ) from None
         model.setup_module(self, example_batch)
         self._schedule = model.schedule
         self.state = self._replicate(model.initial_state(example_batch))
