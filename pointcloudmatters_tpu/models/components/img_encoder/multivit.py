@@ -66,7 +66,9 @@ class PatchedInputAdapter(nn.Module):
         h, w = x.shape[1], x.shape[2]
         tokens = x.reshape(B, h * w, self.dim_tokens)
         pos = get_2d_sincos_pos_embed(self.dim_tokens, h)[None]
-        return tokens + pos
+        # cast the f32 sincos table: letting it promote would run the whole
+        # MultiViT trunk in f32 under bf16-mixed (see tests/test_dtype_policy)
+        return tokens + pos.astype(tokens.dtype)
 
 
 class MultiViT(nn.Module):
