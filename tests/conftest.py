@@ -8,16 +8,21 @@ import os
 
 # The sandbox env pins JAX_PLATFORMS to the TPU tunnel; override it hard —
 # a plain setdefault would silently leave tests running over the tunnel.
-os.environ["JAX_PLATFORMS"] = "cpu"
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
-    os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
-    ).strip()
+# PCM_TEST_TPU=1 opts out, enabling the TPU-only kernel suites
+# (test_pallas_kernels.py, test_flash_attention.py) on a real chip:
+#   PCM_TEST_TPU=1 python -m pytest tests/test_flash_attention.py
+if os.environ.get("PCM_TEST_TPU", "0") != "1":
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    flags = os.environ.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        os.environ["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
 
 import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+if os.environ.get("PCM_TEST_TPU", "0") != "1":
+    jax.config.update("jax_platforms", "cpu")
 
 import pathlib
 import sys

@@ -8,7 +8,7 @@ Residual error must be statistically indistinguishable from a pure
 matmul-precision yardstick (the same dense math with one-pass bf16 matmuls,
 which is what the MXU does to f32 inputs at default precision).
 
-Run manually on the chip: JAX_PLATFORMS= python -m pytest tests/test_flash_attention.py
+Run on the chip: PCM_TEST_TPU=1 python -m pytest tests/test_flash_attention.py
 """
 
 import functools

@@ -1,8 +1,7 @@
 """Pallas TPU kernel parity tests (skipped off-TPU; CI forces CPU).
 
-Run manually on the chip:  python -m pytest tests/test_pallas_kernels.py
-with JAX_PLATFORMS unset (conftest forces CPU, so use the module directly or
-override the env)."""
+Run on the chip: PCM_TEST_TPU=1 python -m pytest tests/test_pallas_kernels.py
+(conftest forces CPU otherwise)."""
 
 import jax
 import jax.numpy as jnp
