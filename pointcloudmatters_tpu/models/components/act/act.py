@@ -48,7 +48,8 @@ from pointcloudmatters_tpu.models.components.nn_utils import (
 )
 from pointcloudmatters_tpu.ops.pointops import (
     farthest_point_sampling_padded,
-    knn_query_and_group_padded,
+    gather_rows_padded,
+    knn_query_padded,
 )
 from pointcloudmatters_tpu.utils.rotation_conversions import (
     matrix_to_quaternion,
@@ -303,13 +304,29 @@ class ACTPCD(ACT):
         return fg_idx
 
     def pcd_sampling(self, coord, feat, valid, fg_mask=None, train=False):
-        """Returns (new_xyz (B,m,3), tokens (B,m,proj_dim), idx (B,m))."""
+        """Returns (new_xyz (B,m,3), tokens (B,m,proj_dim), idx (B,m)).
+
+        The reference projects the gathered ``(m, k, 3 + C)`` neighborhoods
+        through the linear layer (`act/act.py:457-460`). ``pcd_linear`` is
+        bias-free, so the same map splits linearly:
+
+            Dense([xyz[nn] - new_xyz, feat[nn]])
+              = (Dense([xyz, feat]))[nn] - Dense([new_xyz, 0])
+
+        Projecting the N source points once instead of every (m, k) gather
+        copy cuts the dominant matmul M*K/N-fold (3.2x at the flagship
+        shapes) and shrinks the gathered tensor from (3+C)-wide to
+        proj_dim-wide. BN statistics see the identical value population.
+        """
         idx = self._fps_indices(coord, valid, fg_mask)
         new_xyz = jnp.take_along_axis(coord, idx[..., None], axis=1)
-        grouped, _ = knn_query_and_group_padded(
-            feat, coord, valid, new_xyz, self.pcd_nsample, with_xyz=True
-        )  # (B, m, k, 3 + C)
-        x = self.pcd_linear(grouped)
+        nn_idx, _ = knn_query_padded(new_xyz, coord, valid, self.pcd_nsample)
+        zeros_f = jnp.zeros(new_xyz.shape[:-1] + (feat.shape[-1],), feat.dtype)
+        g = self.pcd_linear(jnp.concatenate([coord, feat], axis=-1))  # (B,N,D)
+        h = self.pcd_linear(jnp.concatenate([new_xyz, zeros_f], axis=-1))
+        gg = gather_rows_padded(g, nn_idx)  # (B, m, k, D)
+        # holes (idx -1) contributed all-zero rows to the reference's linear
+        x = jnp.where((nn_idx < 0)[..., None], 0.0, gg - h[:, :, None, :])
         x = self.pcd_bn(x, use_running_average=not train)
         x = jax.nn.relu(x)
         x = jnp.max(x, axis=2)  # maxpool over the k neighbors
