@@ -110,14 +110,22 @@ def coord_embedding_sine(
         x = x / (jnp.max(x) + eps) * scale
         y = y / (jnp.max(y) + eps) * scale
         z = z / (jnp.max(z) + eps) * scale
-    pos = jnp.concatenate(
-        [
-            _sine_embed_1d(x, num_pos_feats, temperature),
-            _sine_embed_1d(y, num_pos_feats, temperature),
-            _sine_embed_1d(z, num_pos_feats, temperature),
-        ],
-        axis=-1,
-    )
+
+    # Reference quirk (`act/act.py:490-501`): the per-axis layout is BLOCKED,
+    # not interleaved — `torch.stack((sin(even), cos(odd)), dim=2)` inserts
+    # the stack axis before the frequency axis because of a retained
+    # singleton dim, so flatten yields [sin(a0),sin(a2),... , cos(a1),
+    # cos(a3),...]. Parity-tested against the reference implementation.
+    idx = jnp.arange(num_pos_feats, dtype=jnp.float32)
+    dim_t = temperature ** (2 * jnp.floor(idx / 2) / num_pos_feats)
+
+    def axis_embed(v):
+        vals = v[..., None] / dim_t  # (..., num_pos_feats)
+        return jnp.concatenate(
+            [jnp.sin(vals[..., 0::2]), jnp.cos(vals[..., 1::2])], axis=-1
+        )
+
+    pos = jnp.concatenate([axis_embed(x), axis_embed(y), axis_embed(z)], axis=-1)
     if num_pad_feats:
         pad = jnp.zeros(pos.shape[:-1] + (num_pad_feats,), pos.dtype)
         pos = jnp.concatenate([pos, pad], axis=-1)

@@ -31,7 +31,10 @@ import numpy as np
 from flax import linen as nn
 
 from pointcloudmatters_tpu.models.components.nn_utils import activation_fn
-from pointcloudmatters_tpu.ops.attention import make_flash_attention_fn
+from pointcloudmatters_tpu.ops.attention import (
+    make_flash_attention_fn,
+    make_oneshot_attention_fn,
+)
 
 
 def _attention_mask(key_padding_mask: Optional[jax.Array]) -> Optional[jax.Array]:
@@ -112,11 +115,16 @@ class TransformerEncoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
-    # "flash": run the attention core as the Pallas flash kernel with
-    # in-kernel broadcast dropout (ops/flash_attention.py) — same parameters,
-    # same math, no (B, H, L, L) HBM tensor. Auto-falls back to dense off-TPU
-    # and for short sequences (ops/attention.py).
-    attention_impl: str = "dense"
+    # attention backend for the self-attention core:
+    # - "oneshot" (default): whole-row Pallas kernel with in-kernel broadcast
+    #   dropout (ops/oneshot_attention.py) — exact softmax, no (B, H, L, L)
+    #   HBM tensor, measured 2.9x over dense at the flagship L=2051 on v5e.
+    # - "flash": streaming online-softmax kernel (ops/flash_attention.py),
+    #   for sequences too long for a whole key row in VMEM (≳ 8k tokens).
+    # - "dense": XLA dot-product attention.
+    # All impls auto-fall back to dense off-TPU, for short sequences, and for
+    # masked/biased cases the kernels don't model (ops/attention.py).
+    attention_impl: str = "oneshot"
 
     @nn.compact
     def __call__(
@@ -129,6 +137,8 @@ class TransformerEncoderLayer(nn.Module):
         attn_kwargs = {}
         if self.attention_impl == "flash":
             attn_kwargs["attention_fn"] = make_flash_attention_fn()
+        elif self.attention_impl == "oneshot":
+            attn_kwargs["attention_fn"] = make_oneshot_attention_fn()
         attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
@@ -140,8 +150,8 @@ class TransformerEncoderLayer(nn.Module):
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
         ffn_out = nn.Dense(self.d_model, name="linear2")
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         act = activation_fn(self.activation)
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         mask = _attention_mask(key_padding_mask)
@@ -203,9 +213,9 @@ class TransformerDecoderLayer(nn.Module):
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
         ffn_out = nn.Dense(self.d_model, name="linear2")
-        norm1 = nn.LayerNorm(name="norm1")
-        norm2 = nn.LayerNorm(name="norm2")
-        norm3 = nn.LayerNorm(name="norm3")
+        norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
+        norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
+        norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         act = activation_fn(self.activation)
         drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
         mem_mask = _attention_mask(memory_key_padding_mask)
@@ -260,7 +270,7 @@ class TransformerEncoder(nn.Module):
     # default: with the uint8-dropout attention the recompute transients can
     # exceed v5e HBM at the flagship batch, and measured wins were nil.
     remat: bool = False
-    attention_impl: str = "dense"
+    attention_impl: str = "oneshot"
 
     @nn.compact
     def __call__(
@@ -283,7 +293,7 @@ class TransformerEncoder(nn.Module):
                 attention_impl=self.attention_impl, name=f"layers_{i}",
             )(src, pos, key_padding_mask, deterministic)
         if self.normalize_before:
-            src = nn.LayerNorm(name="norm")(src)
+            src = nn.LayerNorm(epsilon=1e-5, name="norm")(src)
         return src
 
 
@@ -307,7 +317,7 @@ class TransformerDecoder(nn.Module):
         memory_key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
-        norm = nn.LayerNorm(name="norm")
+        norm = nn.LayerNorm(epsilon=1e-5, name="norm")
         intermediate = []
         out = tgt
         for i in range(self.num_layers):
@@ -354,7 +364,7 @@ class Transformer(nn.Module):
     # encoder self-attention implementation ("dense" | "flash"); the decoder
     # stays dense — its query side is ~chunk_size tokens and the flash
     # adapter would route it to dense anyway
-    attention_impl: str = "dense"
+    attention_impl: str = "oneshot"
 
     @nn.compact
     def __call__(

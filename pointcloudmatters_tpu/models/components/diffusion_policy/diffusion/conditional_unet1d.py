@@ -53,7 +53,8 @@ class Conv1dBlock(nn.Module):
             self.features, (self.kernel_size,),
             padding=[(self.kernel_size // 2,) * 2], name="conv",
         )(x)
-        x = nn.GroupNorm(num_groups=self.n_groups, name="norm")(x)
+        # torch GroupNorm eps (flax defaults to 1e-6; parity-tested)
+        x = nn.GroupNorm(num_groups=self.n_groups, epsilon=1e-5, name="norm")(x)
         return mish(x)
 
 
@@ -190,3 +191,78 @@ class ConditionalUnet1D(nn.Module):
                         name="final_block")(x)
         x = nn.Conv(self.input_dim, (1,), name="final_conv")(x)
         return x
+
+
+def port_torch_state(ref_module) -> dict:
+    """Port a reference torch ``ConditionalUnet1D``'s weights
+    (`diffusion/conditional_unet1d.py:78-297`) onto this module's param tree.
+
+    Used by the reference-parity tests and by checkpoint-porting tooling.
+    Torch ``Conv1d`` weights ``(out, in, k)`` become flax ``(k, in, out)``;
+    ``ConvTranspose1d`` weights ``(in, out, k)`` are spatially flipped for
+    flax's ``transpose_kernel=False`` convention.
+    """
+    import numpy as np
+
+    def t2n(t):
+        return t.detach().cpu().numpy()
+
+    def conv(c):
+        out = {"kernel": t2n(c.weight).transpose(2, 1, 0)}
+        if c.bias is not None:
+            out["bias"] = t2n(c.bias)
+        return out
+
+    def conv_transpose(c):
+        # torch (in, out, k) -> flax (k, in, out), kernel flipped along k
+        out = {"kernel": np.ascontiguousarray(
+            t2n(c.weight).transpose(2, 0, 1)[::-1]
+        )}
+        if c.bias is not None:
+            out["bias"] = t2n(c.bias)
+        return out
+
+    def linear(l):
+        out = {"kernel": t2n(l.weight).T}
+        if l.bias is not None:
+            out["bias"] = t2n(l.bias)
+        return out
+
+    def norm(gn):
+        return {"scale": t2n(gn.weight), "bias": t2n(gn.bias)}
+
+    def block(b):  # Conv1dBlock: Sequential(conv, groupnorm, mish)
+        return {"conv": conv(b.block[0]), "norm": norm(b.block[1])}
+
+    def resblock(r):
+        tree = {
+            "block0": block(r.blocks[0]),
+            "block1": block(r.blocks[1]),
+            "cond_encoder": linear(r.cond_encoder[1]),
+        }
+        if hasattr(r.residual_conv, "weight"):  # not Identity
+            tree["residual_conv"] = conv(r.residual_conv)
+        return tree
+
+    params = {
+        "time_mlp1": linear(ref_module.diffusion_step_encoder[1]),
+        "time_mlp2": linear(ref_module.diffusion_step_encoder[3]),
+        "final_block": block(ref_module.final_conv[0]),
+        "final_conv": conv(ref_module.final_conv[1]),
+    }
+    if ref_module.local_cond_encoder is not None:
+        params["local_down"] = resblock(ref_module.local_cond_encoder[0])
+        params["local_up"] = resblock(ref_module.local_cond_encoder[1])
+    for i, (r0, r1, ds) in enumerate(ref_module.down_modules):
+        params[f"down{i}_res0"] = resblock(r0)
+        params[f"down{i}_res1"] = resblock(r1)
+        if hasattr(ds, "conv"):  # not Identity on the last level
+            params[f"down{i}_ds"] = {"conv": conv(ds.conv)}
+    params["mid_res0"] = resblock(ref_module.mid_modules[0])
+    params["mid_res1"] = resblock(ref_module.mid_modules[1])
+    for i, (r0, r1, us) in enumerate(ref_module.up_modules):
+        params[f"up{i}_res0"] = resblock(r0)
+        params[f"up{i}_res1"] = resblock(r1)
+        if hasattr(us, "conv"):
+            params[f"up{i}_us"] = {"conv": conv_transpose(us.conv)}
+    return params

@@ -62,9 +62,15 @@ class SingleFieldLinearNormalizer:
                 stat, output_max=output_max, output_min=output_min, range_eps=range_eps
             )
         if mode == "gaussian":
-            std = np.maximum(stat["std"], range_eps)
-            scale = 1.0 / std
-            offset = -stat["mean"] / std if fit_offset else np.zeros_like(std)
+            # torch-parity: unbiased std (`normalizer.py:229` uses
+            # tensor.std(), n-1 denominator), and near-constant dims get
+            # scale 1 rather than an eps clamp (`normalizer.py:253-256`)
+            arr = np.asarray(data, np.float32).reshape(-1, np.asarray(data).shape[-1])
+            std = arr.std(0, ddof=1) if arr.shape[0] > 1 else np.zeros(arr.shape[1])
+            stat = dict(stat, std=std.astype(np.float32))
+            denom = np.where(std < range_eps, 1.0, std)
+            scale = 1.0 / denom
+            offset = -stat["mean"] * scale if fit_offset else np.zeros_like(std)
             return cls(scale, offset, stat)
         raise ValueError(mode)
 

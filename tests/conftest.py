@@ -30,6 +30,9 @@ import sys
 REPO_ROOT = pathlib.Path(__file__).resolve().parent.parent
 if str(REPO_ROOT) not in sys.path:
     sys.path.insert(0, str(REPO_ROOT))
+# tests import sibling helper modules (_reference_stubs, _torch_port)
+if str(REPO_ROOT / "tests") not in sys.path:
+    sys.path.insert(0, str(REPO_ROOT / "tests"))
 
 import pytest  # noqa: E402
 
