@@ -125,6 +125,10 @@ class MultiViTModel(nn.Module):
     depth: int = 12
     num_heads: int = 12
     dtype: Optional[Any] = None
+    # accepted-and-ignored for config parity: the reference wrapper takes
+    # **kwargs (`multivit.py:2598-2607`) and the RLBench DP config passes
+    # `type: MultiViT` through it
+    type: Optional[str] = None
 
     @property
     def num_channels(self) -> int:

@@ -35,6 +35,10 @@ class PointNet(nn.Module):
     num_classes: int = 0
     axis_name: Optional[str] = None
     dtype: Optional[Any] = None
+    # accepted-and-ignored for config parity: the reference PointNet takes
+    # **kwargs (`pointnet.py:17-22`) and several DP configs pass a (null)
+    # pretrained_path through to it
+    pretrained_path: Optional[str] = None
 
     @property
     def num_channels(self) -> int:
