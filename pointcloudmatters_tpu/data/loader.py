@@ -29,6 +29,8 @@ class DataLoader:
         drop_last: bool = False,
         seed: int = 0,
         prefetch_batches: int = 2,
+        process_index: int | None = None,
+        process_count: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -39,11 +41,36 @@ class DataLoader:
         self.seed = seed
         self.prefetch_batches = max(1, prefetch_batches)
         self.epoch = 0
+        # multi-process data parallelism (the DistributedSampler analog,
+        # reference `configs/trainer/ddp.yaml:4-13`): every process builds
+        # the SAME epoch permutation (seed+epoch); each global batch of
+        # world*batch_size rows is split into contiguous per-process blocks
+        # (block p -> process p). batch_size stays per-process like Lightning
+        # DDP, and the assembled global batch (process-order concat in
+        # Trainer.shard_batch) reproduces the single-process row order
+        # exactly — which makes multi-process training bitwise-comparable.
+        self.process_index = process_index
+        self.process_count = process_count
+
+    def _proc(self) -> tuple[int, int]:
+        if self.process_count is not None:
+            return self.process_index or 0, self.process_count
+        try:
+            import jax
+
+            return jax.process_index(), jax.process_count()
+        except Exception:  # pragma: no cover - jax uninitialized
+            return 0, 1
 
     def set_epoch(self, epoch: int) -> None:
         self.epoch = epoch
 
     def __len__(self) -> int:
+        _, world = self._proc()
+        if world > 1:
+            # only full global batches: every process must yield the same
+            # number of batches or collectives deadlock
+            return len(self.dataset) // (self.batch_size * world)
         n = len(self.dataset)
         if self.drop_last:
             return n // self.batch_size
@@ -54,6 +81,14 @@ class DataLoader:
         if self.shuffle:
             rng = np.random.RandomState((self.seed + self.epoch) % (2**31))
             rng.shuffle(idx)
+        rank, world = self._proc()
+        if world > 1:
+            gb = self.batch_size * world
+            lo = rank * self.batch_size
+            return [
+                idx[i * gb + lo : i * gb + lo + self.batch_size]
+                for i in range(len(idx) // gb)
+            ]
         batches = [
             idx[i : i + self.batch_size]
             for i in range(0, len(idx), self.batch_size)

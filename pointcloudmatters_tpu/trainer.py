@@ -169,11 +169,49 @@ class Trainer:
 
     def _replicate(self, tree: Any) -> Any:
         sharding = NamedSharding(self.mesh, P())
+        if jax.process_count() > 1:
+            # device_put cannot target non-addressable devices; every process
+            # holds the identical host value (same seed), so assembling the
+            # replicated global array from per-process copies is exact
+            return jax.tree.map(
+                lambda x: jax.make_array_from_process_local_data(
+                    sharding, np.asarray(x)
+                ),
+                jax.device_get(tree),
+            )
         return jax.device_put(tree, sharding)
 
     def shard_batch(self, batch: Any) -> Any:
-        """Leading-dim sharding where divisible by the mesh, else replicate."""
+        """Device placement for one batch.
+
+        Single-process: leading-dim sharding where divisible by the mesh,
+        else replicate. Multi-process: each process holds its LOCAL shard
+        (``data/loader.py`` strided the index stream by rank); the global
+        array is assembled with ``jax.make_array_from_process_local_data``
+        so the jitted step sees one logical batch of
+        ``process_count * local_batch`` rows sharded over the global mesh —
+        the TPU-native DDP (`configs/trainer/ddp.yaml:4-13`).
+        """
         ndev = self.mesh.devices.size
+        nproc = jax.process_count()
+
+        if nproc > 1:
+            ndev_local = ndev // nproc
+
+            def put_global(x):
+                x = np.asarray(x)
+                if (
+                    x.ndim >= 1 and x.shape[0] > 0
+                    and x.shape[0] % max(1, ndev_local) == 0
+                ):
+                    spec = P("data", *([None] * (x.ndim - 1)))
+                else:  # replicated leaf: identical on every process
+                    spec = P()
+                return jax.make_array_from_process_local_data(
+                    NamedSharding(self.mesh, spec), x
+                )
+
+            return jax.tree.map(put_global, batch)
 
         def put(x):
             x = np.asarray(x)
