@@ -1,0 +1,247 @@
+"""One-shot TPU attention for mid-length sequences (the ACT encoder regime).
+
+The flagship ACT encoder attends over L≈2051 tokens with d_head 64. At that
+length an entire key/value row fits in VMEM (k,v tiles are ~0.27 MB each;
+one f32 score tile at block_q=256 is ~2.2 MB), so this kernel computes exact
+softmax attention **without online-softmax streaming**: each grid step owns a
+query tile and the full key row, does QK^T -> masked softmax -> dropout ->
+PV entirely on-chip, and writes only the (bq, d) output. No (B, H, L, L)
+tensor ever touches HBM — the reason XLA's dense attention spends ~35 ms per
+layer here (measured v5e, B=32) against a ~15 ms compute roofline.
+
+Backward is a custom VJP with the same one-shot structure: scores and probs
+are recomputed per tile (flash-style), dK/dV accumulate in VMEM scratch
+across the sequential q-tile grid dimension, and the dropout mask is
+regenerated from the same per-(head, q-tile) seed, so train-time gradients
+are exact for the sampled mask.
+
+Dropout semantics match the dense path (flax ``broadcast_dropout=True``):
+one mask shared across the batch dim, distinct per head/query/key. The seed
+is a traced ``(1,)`` int32 delivered by scalar prefetch (same scheme as the
+vendored flash kernel), so per-step reseeding does not recompile.
+
+Reference counterpart: torch ``nn.MultiheadAttention`` inside
+`act/transformer.py` — the math is identical; this is purely an HBM-traffic
+reformulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["oneshot_attention"]
+
+NEG_INF = -1e30
+
+
+# distinct per (head, q-tile); generous stride keeps tiles non-overlapping
+_SEED_STRIDE = 1 << 16
+
+
+def _keep_mask(seed, h, qt, shape, rate: float):
+    """Regenerate the broadcast keep-mask for one (head, q-tile).
+
+    Pure function of ``(seed, h, qt)`` so forward and backward rebuild the
+    identical mask. Shared across the batch dim (flax
+    ``broadcast_dropout=True`` semantics), distinct per head. Comparison in
+    signed space — Mosaic lowers unsigned compares as signed (same trick as
+    `ops/flash_attention.py:390-395`).
+    """
+    threshold = min(int(rate * 4294967296.0), 4294967295)
+    pltpu.prng_seed(seed, h * _SEED_STRIDE + qt)
+    bits = pltpu.prng_random_bits(shape)
+    ibits = jax.lax.bitcast_convert_type(bits, jnp.int32)
+    return ibits >= jnp.int32(threshold - 2147483648)
+
+
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, l_actual, rate):
+    h = pl.program_id(1)
+    qt = pl.program_id(2)
+    q = q_ref[0, 0]  # (bq, d) bf16
+    k = k_ref[0, 0]  # (Lp, d)
+    v = v_ref[0, 0]
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (bq, Lp) f32
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < l_actual, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = e / denom
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref[0], h, qt, p.shape, rate)
+        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
+    o_ref[0, 0] = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
+                dk_acc, dv_acc, *, scale, l_actual, rate, n_qt):
+    h = pl.program_id(1)
+    qt = pl.program_id(2)
+    q = q_ref[0, 0]
+    k = k_ref[0, 0]
+    v = v_ref[0, 0]
+    do = do_ref[0, 0]  # (bq, d) bf16
+
+    s = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale
+    col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+    s = jnp.where(col < l_actual, s, NEG_INF)
+    m = jnp.max(s, axis=1, keepdims=True)
+    e = jnp.exp(s - m)
+    denom = jnp.sum(e, axis=1, keepdims=True)
+    p = e / denom  # (bq, Lp) f32
+
+    if rate > 0.0:
+        keep = _keep_mask(seed_ref[0], h, qt, p.shape, rate)
+        inv = 1.0 / (1.0 - rate)
+        p_drop = jnp.where(keep, p * inv, 0.0)
+    else:
+        p_drop = p
+
+    # dV += P_drop^T @ dO  -> (Lp, d)
+    dv_c = jax.lax.dot_general(
+        p_drop.astype(do.dtype), do, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+    # dP_drop = dO @ V^T -> (bq, Lp)
+    dp_drop = jax.lax.dot_general(
+        do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    if rate > 0.0:
+        dp = jnp.where(keep, dp_drop * inv, 0.0)
+    else:
+        dp = dp_drop
+    # softmax backward: dS = P * (dP - sum(dP*P))
+    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
+    ds = (ds * scale).astype(q.dtype)  # (bq, Lp) bf16
+    # dQ = dS @ K
+    dq_ref[0, 0] = jax.lax.dot_general(
+        ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    ).astype(dq_ref.dtype)
+    # dK += dS^T @ Q
+    dk_c = jax.lax.dot_general(
+        ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qt == 0)
+    def _init():
+        dk_acc[...] = dk_c
+        dv_acc[...] = dv_c
+
+    @pl.when(qt > 0)
+    def _acc():
+        dk_acc[...] += dk_c
+        dv_acc[...] += dv_c
+
+    @pl.when(qt == n_qt - 1)
+    def _flush():
+        dk_ref[0, 0] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[0, 0] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pad_l(x, lp):
+    pad = lp - x.shape[2]
+    if pad:
+        x = jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0)))
+    return x
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def oneshot_attention(q, k, v, seed, scale, rate=0.0, block_q=256):
+    """Exact softmax attention, (B, H, L, D) layout, bf16 in/out.
+
+    Args:
+        q/k/v: (B, H, L, D).
+        seed: (1,) int32 dropout seed (traced; ignored when ``rate == 0``).
+        scale: logit scale (1/sqrt(D)).
+        rate: attention-weight dropout rate.
+        block_q: query tile edge.
+    """
+    out, _ = _fwd_rule(q, k, v, seed, scale, rate, block_q)
+    return out
+
+
+def _fwd_rule(q, k, v, seed, scale, rate, block_q):
+    B, H, L, D = q.shape
+    bq = min(block_q, max(L, 128))
+    lp = -(-L // bq) * bq
+    qp, kp, vp = _pad_l(q, lp), _pad_l(k, lp), _pad_l(v, lp)
+    n_qt = lp // bq
+    out = pl.pallas_call(
+        functools.partial(_fwd_kernel, scale=scale, l_actual=L, rate=rate),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_qt),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(jnp.asarray(seed, jnp.int32).reshape((1,)), qp, kp, vp)
+    return out[:, :, :L], (q, k, v, jnp.asarray(seed, jnp.int32).reshape((1,)))
+
+
+def _bwd_rule(scale, rate, block_q, res, dout):
+    q, k, v, seed = res
+    B, H, L, D = q.shape
+    bq = min(block_q, max(L, 128))
+    lp = -(-L // bq) * bq
+    qp, kp, vp = _pad_l(q, lp), _pad_l(k, lp), _pad_l(v, lp)
+    dop = _pad_l(dout, lp)
+    n_qt = lp // bq
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_kernel, scale=scale, l_actual=L, rate=rate,
+                          n_qt=n_qt),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(B, H, n_qt),
+            in_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((lp, D), jnp.float32),
+                pltpu.VMEM((lp, D), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary", "arbitrary"),
+        ),
+    )(seed, qp, kp, vp, dop)
+    return (dq[:, :, :L], dk[:, :, :L], dv[:, :, :L],
+            np.zeros((1,), jax.dtypes.float0))
+
+
+oneshot_attention.defvjp(fwd=_fwd_rule, bwd=_bwd_rule)

@@ -89,3 +89,98 @@ class TestPallasFPS:
         fps_spread = min_pairwise(pts[0][idx])
         rand_spread = min_pairwise(pts[0][rng.choice(4096, 64, replace=False)])
         assert fps_spread > rand_spread
+
+
+@on_tpu
+class TestOneshotAttention:
+    """Whole-row attention kernel (ops/oneshot_attention.py) vs XLA dense."""
+
+    def _qkv(self, B=4, H=8, L=515, Dh=64, seed=0):
+        rng = np.random.RandomState(seed)
+        mk = lambda: jnp.asarray(  # noqa: E731
+            rng.randn(B, H, L, Dh).astype(np.float32), jnp.bfloat16
+        )
+        return mk(), mk(), mk()
+
+    def _dense(self, q, k, v):
+        s = jnp.einsum("bhqd,bhkd->bhqk", q, k).astype(jnp.float32)
+        p = jax.nn.softmax(s * (q.shape[-1] ** -0.5), axis=-1)
+        return jnp.einsum("bhqk,bhkd->bhqd", p.astype(v.dtype), v)
+
+    def test_forward_matches_dense(self):
+        from pointcloudmatters_tpu.ops.oneshot_attention import oneshot_attention
+
+        q, k, v = self._qkv()
+        seed = jnp.zeros((1,), jnp.int32)
+        got = jax.jit(
+            lambda q, k, v: oneshot_attention(q, k, v, seed, 64 ** -0.5, 0.0)
+        )(q, k, v)
+        ref = jax.jit(self._dense)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-3
+        )
+
+    def test_grads_match_dense(self):
+        from pointcloudmatters_tpu.ops.oneshot_attention import oneshot_attention
+
+        q, k, v = self._qkv(seed=1)
+        seed = jnp.zeros((1,), jnp.int32)
+
+        def loss_oneshot(q, k, v):
+            o = oneshot_attention(q, k, v, seed, 64 ** -0.5, 0.0)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(self._dense(q, k, v).astype(jnp.float32) ** 2)
+
+        g1 = jax.jit(jax.grad(loss_oneshot, argnums=(0, 1, 2)))(q, k, v)
+        g2 = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+        for a, b, name in zip(g1, g2, "qkv"):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(1.0, np.abs(b).max())
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-2,
+                err_msg=f"d{name} mismatch",
+            )
+
+    def test_dropout_deterministic_and_unbiased(self):
+        from pointcloudmatters_tpu.ops.oneshot_attention import oneshot_attention
+
+        q, k, v = self._qkv(seed=2)
+        f = jax.jit(
+            lambda q, k, v, s: oneshot_attention(q, k, v, s, 64 ** -0.5, 0.1)
+        )
+        s1 = jnp.ones((1,), jnp.int32)
+        o1, o2 = f(q, k, v, s1), f(q, k, v, s1)
+        assert bool(jnp.all(o1 == o2)), "same seed must reproduce"
+        o3 = f(q, k, v, 7 * s1)
+        assert bool(jnp.any(o1 != o3)), "different seed must differ"
+        # E[dropped attention] == deterministic attention (rough bound over
+        # many seeds x rows)
+        det = jax.jit(
+            lambda q, k, v: oneshot_attention(
+                q, k, v, s1, 64 ** -0.5, 0.0
+            )
+        )(q, k, v)
+        acc = np.zeros(np.shape(det), np.float32)
+        n_seeds = 24
+        for s in range(n_seeds):
+            acc += np.asarray(
+                f(q, k, v, jnp.full((1,), s, jnp.int32)), np.float32
+            )
+        err = np.abs(acc / n_seeds - np.asarray(det, np.float32)).mean()
+        assert err < 0.05, err
+
+    def test_padding_tail_masked(self):
+        """Results must not depend on data beyond the real L."""
+        from pointcloudmatters_tpu.ops.oneshot_attention import oneshot_attention
+
+        q, k, v = self._qkv(L=300, seed=3)
+        seed = jnp.zeros((1,), jnp.int32)
+        got = jax.jit(
+            lambda q, k, v: oneshot_attention(q, k, v, seed, 64 ** -0.5, 0.0)
+        )(q, k, v)
+        ref = jax.jit(self._dense)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-3
+        )
