@@ -32,6 +32,15 @@ from __graft_entry__ import build_batch, build_flagship
 # one A100 — provisional, see module docstring.
 A100_BASELINE_SPS = 100.0
 
+# Training FLOPs per sample for the flagship step (fwd x3 for backward),
+# counting MXU work only (matmuls/convs; the kNN extraction and elementwise
+# ops are excluded): PointNet MLP 1.69G + token projection 6.48G + FPS/kNN
+# distance matmuls 0.25G + 4 encoder layers 52.9G (QKVO 4.3G + attention
+# core 8.6G + ffn 0.27G each) + CVAE encoder 0.94G + live decoder layer
+# 2.9G + heads 0.2G = 65.4 GFLOP fwd -> ~196 GFLOP/sample trained.
+TRAIN_FLOPS_PER_SAMPLE = 196e9
+V5E_PEAK_BF16_FLOPS = 197e12  # per chip
+
 BATCH_SIZE = int(os.environ.get("BENCH_BATCH", "32"))
 N_POINTS = int(os.environ.get("BENCH_POINTS", "10240"))
 WARMUP = int(os.environ.get("BENCH_WARMUP", "5"))
@@ -91,6 +100,12 @@ def main() -> None:
         "value": round(sps_per_chip, 2),
         "unit": "samples/sec/chip",
         "vs_baseline": round(sps_per_chip / A100_BASELINE_SPS, 3),
+        # the A100 number is an ESTIMATE (reference publishes none and its
+        # CUDA stack can't run here); see module docstring
+        "estimated_baseline": True,
+        "mfu": round(
+            sps_per_chip * TRAIN_FLOPS_PER_SAMPLE / V5E_PEAK_BF16_FLOPS, 4
+        ),
     }))
 
 

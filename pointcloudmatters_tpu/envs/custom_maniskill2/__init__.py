@@ -71,6 +71,55 @@ def make_multiview_cameras(CameraConfig, look_at):
     return cams
 
 
+def make_softbody_multiview_cameras(CameraConfig, look_at):
+    """The soft-body (MPM) tasks use a different rig than the rigid tasks
+    (`mpm/hang_env.py:174-266`): front at a fixed euler pose, back/right/left
+    at radius 0.45 z=0.6, and left/right + up/down rings at radius 0.45
+    z=0.5, all 128^2 fov pi/2."""
+    try:
+        from transforms3d.euler import euler2quat
+        front_q = euler2quat(0, np.pi / 5, np.pi)
+    except ImportError:  # same pose, precomputed (w, x, y, z)
+        front_q = [
+            np.cos(np.pi / 10) * 0.0 + 0.0,  # placeholder; replaced below
+        ]
+        # euler2quat(0, b, c) with sxyz: q = Rz(c)*Ry(b) in wxyz
+        b, c = np.pi / 5, np.pi
+        cb, sb = np.cos(b / 2), np.sin(b / 2)
+        cc, sc = np.cos(c / 2), np.sin(c / 2)
+        front_q = [cb * cc, -sb * sc, sb * cc, cb * sc]
+
+    cams = [
+        CameraConfig("front_camera", [0.45, -0.0, 0.5], list(front_q),
+                     128, 128, np.pi / 2, 0.01, 10),
+        _camera_cfg(CameraConfig, look_at, "back_camera", (-0.45, 0.1, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "right_camera", (0, 0.45, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "left_camera", (0, -0.45, 0.6)),
+    ]
+    r = 0.45
+    for angle in MULTIVIEW_ANGLES:
+        a = np.radians(angle)
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"left_camera_{angle}",
+            (r * np.cos(-a), r * np.sin(-a), 0.5),
+        ))
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"right_camera_{angle}",
+            (r * np.cos(a), r * np.sin(a), 0.5),
+        ))
+    for angle in MULTIVIEW_ANGLES:
+        a = np.radians(angle)
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"up_camera_{angle}",
+            (r * np.cos(a), 0, 0.5 + r * np.sin(a)),
+        ))
+        cams.append(_camera_cfg(
+            CameraConfig, look_at, f"down_camera_{angle}",
+            (r * np.cos(-a), 0, 0.5 + r * np.sin(-a)),
+        ))
+    return cams
+
+
 def register_custom_envs() -> bool:
     """Build + register every variant. Returns False when ManiSkill2 is not
     installed (silent no-op)."""
@@ -134,16 +183,23 @@ def register_custom_envs() -> bool:
                  override=True)(peg3)
     base_classes["PegInsertionSide-3steps"] = peg3
 
-    # --- MultiView rigs
+    # --- MultiView rigs (soft-body tasks use the reference's MPM rig —
+    # radius 0.45, z 0.5, up/down+left/right rings; see MPM_NOTES.md)
+    SOFTBODY_TASKS = {"Hang", "Pour", "Fill", "Excavate"}
     for task in MULTIVIEW_TASKS:
         base = base_classes.get(task)
         if base is None:
             continue
+        rig = (
+            make_softbody_multiview_cameras
+            if task in SOFTBODY_TASKS else make_multiview_cameras
+        )
+        max_steps = 350 if task in SOFTBODY_TASKS else 200
         cls = type(f"{task.replace('-', '')}MultiViewEnv", (base,), {
             "_register_cameras":
-                lambda self: make_multiview_cameras(CameraConfig, look_at),
+                lambda self, rig=rig: rig(CameraConfig, look_at),
         })
-        register_env(f"{task}-MultiView", max_episode_steps=200,
+        register_env(f"{task}-MultiView", max_episode_steps=max_steps,
                      override=True)(cls)
 
     # --- ambient-light sweeps (`stack_cube.py:226-305`)

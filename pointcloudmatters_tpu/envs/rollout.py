@@ -95,6 +95,90 @@ def build_act_obs(obs: dict, dataset, pad_multiple: int = 512) -> dict:
     return data
 
 
+def _episode_options(env_id: str, idx: int) -> dict:
+    if env_id == "TurnFaucet-v0":
+        return {"model_id": TURN_FAUCET_MODELS[idx // 40]}
+    return {}
+
+
+def _drive_episodes(
+    episode_fn: Callable,
+    env,
+    env_factory: Optional[Callable],
+    n_episodes: int,
+    num_envs: int,
+    staged: bool,
+    on_episode_end: Optional[Callable],
+) -> dict:
+    """Run ``episode_fn(env, idx) -> (success, grasp, align, rewards)`` for
+    every episode, serially or overlapped.
+
+    Async mode (``num_envs > 1`` with an ``env_factory``): SURVEY §7.4.5 —
+    simulators are host-bound, so W worker threads each own an env and run
+    whole episodes concurrently; the shared jitted policy apply is serialized
+    by a device lock inside ``predict`` callers (JAX dispatch is
+    thread-safe), so the TPU serves one env while the others are stepping
+    SAPIEN on the host. Episode seeds/protocol are index-derived, so results
+    are identical to the serial order.
+    """
+    results: list = [None] * n_episodes
+    if num_envs <= 1 or env_factory is None:
+        for idx in range(n_episodes):
+            results[idx] = episode_fn(env, idx)
+            if on_episode_end is not None:
+                success, _, _, rewards = results[idx]
+                on_episode_end(idx, success, rewards)
+    else:
+        import queue as _queue
+        import threading
+
+        todo: _queue.Queue = _queue.Queue()
+        for idx in range(n_episodes):
+            todo.put(idx)
+        errors: list = []
+
+        def worker():
+            w_env = env_factory()
+            try:
+                while True:
+                    try:
+                        idx = todo.get_nowait()
+                    except _queue.Empty:
+                        return
+                    try:
+                        results[idx] = episode_fn(w_env, idx)
+                    except Exception as e:  # noqa: BLE001
+                        errors.append(e)
+                        return
+            finally:
+                close = getattr(w_env, "close", None)
+                if close is not None:
+                    close()
+
+        threads = [
+            threading.Thread(target=worker, daemon=True)
+            for _ in range(num_envs)
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join()
+        if errors:
+            raise errors[0]
+        if on_episode_end is not None:
+            for idx, r in enumerate(results):
+                if r is not None:
+                    on_episode_end(idx, r[0], r[3])
+
+    done = [r for r in results if r is not None]
+    successes = [r[0] for r in done]
+    metrics = {"mean_success": float(np.mean(successes)) if successes else 0.0}
+    if staged and done:
+        metrics["mean_grasp"] = float(np.mean([r[1] for r in done]))
+        metrics["mean_align"] = float(np.mean([r[2] for r in done]))
+    return metrics
+
+
 def run_maniskill2_rollouts(
     predict: Callable[[dict], np.ndarray],
     dataset,
@@ -108,16 +192,22 @@ def run_maniskill2_rollouts(
     pad_multiple: int = 512,
     seed_base: int = 10240,
     on_episode_end: Optional[Callable] = None,
+    env_factory: Optional[Callable] = None,
+    num_envs: int = 1,
 ) -> dict:
     """Run the validation protocol; returns metric dict with ``mean_success``
-    (+ grasp/align for the staged PegInsertion variant)."""
-    successes, grasps, aligns = [], [], []
+    (+ grasp/align for the staged PegInsertion variant).
+
+    ``num_envs > 1`` (with ``env_factory``) overlaps host simulation across a
+    pool of envs while the device serves predictions — wall-clock per epoch
+    approaches max(sim, policy) instead of their sum.
+    """
     staged = "3steps" in env_id or env_id == "PegInsertionSide-v0"
-    for idx in range(n_episodes):
-        options = {}
-        if env_id == "TurnFaucet-v0":
-            options = {"model_id": TURN_FAUCET_MODELS[idx // 40]}
-        obs, _ = env.reset(seed=seed_base + idx, options=options)
+
+    def episode(ep_env, idx):
+        obs, _ = ep_env.reset(
+            seed=seed_base + idx, options=_episode_options(env_id, idx)
+        )
         agg = TemporalAgg(
             apply=temporal_agg, action_dim=action_dim,
             chunk_size=num_queries, k=0.01,
@@ -133,7 +223,7 @@ def run_maniskill2_rollouts(
                 action * dataset.norm_stats["action_std"]
                 + dataset.norm_stats["action_mean"]
             )
-            obs, reward, terminated, truncated, info = env.step(action)
+            obs, reward, terminated, truncated, info = ep_env.step(action)
             rewards.append(float(np.asarray(reward)))
             if staged:
                 grasp = bool(info.get("is_grasped", False)) or grasp
@@ -141,17 +231,11 @@ def run_maniskill2_rollouts(
             if terminated or truncated:
                 success = bool(np.asarray(info.get("success", False)))
                 break
-        successes.append(float(success))
-        if staged:
-            grasps.append(float(grasp))
-            aligns.append(float(align))
-        if on_episode_end is not None:
-            on_episode_end(idx, success, rewards)
-    metrics = {"mean_success": float(np.mean(successes)) if successes else 0.0}
-    if staged and grasps:
-        metrics["mean_grasp"] = float(np.mean(grasps))
-        metrics["mean_align"] = float(np.mean(aligns))
-    return metrics
+        return float(success), float(grasp), float(align), rewards
+
+    return _drive_episodes(
+        episode, env, env_factory, n_episodes, num_envs, staged, on_episode_end
+    )
 
 
 def make_maniskill2_env(

@@ -158,6 +158,13 @@ class ManiSkill2ACTBCModule(BCModule):
                 temporal_agg=self.temporal_agg,
                 pad_multiple=getattr(datamodule, "pad_multiple", 512),
                 on_episode_end=_reward_figure_logger(trainer),
+                # num_envs > 1 overlaps host SAPIEN stepping across an env
+                # pool while the device serves predictions (SURVEY §7.4.5)
+                env_factory=(
+                    (lambda: self._make_env(dataset))
+                    if self.num_envs > 1 else None
+                ),
+                num_envs=self.num_envs,
             )
         finally:
             env.close()

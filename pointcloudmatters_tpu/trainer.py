@@ -477,8 +477,26 @@ class Trainer:
         self.datamodule = datamodule
         if hasattr(datamodule, "setup"):
             datamodule.setup("validate")
-        train_loader = datamodule.train_dataloader()
-        example_batch = next(iter(train_loader))
+        # params only need a shape-template batch; a val-only datamodule (the
+        # validate.py use case: load ckpt, eval — no train split) must work
+        loader = None
+        for name in ("train_dataloader", "val_dataloader", "test_dataloader"):
+            fn = getattr(datamodule, name, None)
+            if fn is None:
+                continue
+            try:
+                candidate = fn()
+            except Exception:
+                continue
+            if candidate is not None:
+                loader = candidate
+                break
+        if loader is None:
+            raise RuntimeError(
+                "validate() needs at least one dataloader (train, val, or "
+                "test) to build a shape-template batch for initialization"
+            )
+        example_batch = next(iter(loader))
         model.setup_module(self, example_batch)
         self._schedule = model.schedule
         self.state = self._replicate(model.initial_state(example_batch))

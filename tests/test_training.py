@@ -419,3 +419,123 @@ class TestTransformerForDiffusion:
         assert out.shape == (2, 8, 7)
         out2 = m.apply(v, x, t, cond=cond * 2)
         assert not np.allclose(np.asarray(out), np.asarray(out2))
+
+
+def test_validate_val_only_datamodule(tmp_path):
+    """trainer.validate() must work without a train split (VERDICT r1 #9:
+    the validate.py use case — load ckpt, eval)."""
+    import jax.numpy as jnp
+
+    from __graft_entry__ import build_batch, build_flagship
+    from pointcloudmatters_tpu.data.loader import DataLoader
+    from pointcloudmatters_tpu.models.bc_module import BCModule
+    from pointcloudmatters_tpu.trainer import Trainer
+
+    template = build_batch(batch_size=4, n_points=64, chunk=5)
+
+    class ValOnlyDataset:
+        def __len__(self):
+            return 4
+
+        def __getitem__(self, i):
+            return {
+                "qpos": template["qpos"][i],
+                "actions": template["actions"][i],
+                "is_pad": template["is_pad"][i],
+                "goal_cond": template["goal_cond"][i],
+                "pcds": {k: v[i] for k, v in template["pcds"].items()},
+            }
+
+    class ValOnlyDM:
+        def setup(self, stage):
+            pass
+
+        def train_dataloader(self):
+            raise RuntimeError("no train split")
+
+        def val_dataloader(self):
+            return DataLoader(ValOnlyDataset(), batch_size=2)
+
+    policy = build_flagship(hidden_dim=32, npoints=16, nsample=4, chunk=5,
+                            enc_layers=1, dec_layers=1, ffn=16)
+    module = BCModule(
+        policy=policy,
+        optimizer={"type": "AdamW", "lr": 1e-4},
+        lr_scheduler={"scheduler": {"type": "OneCycleLR", "max_lr": 1e-4,
+                                    "pct_start": 0.1}},
+    )
+    trainer = Trainer(default_root_dir=str(tmp_path), max_epochs=1,
+                      precision="32-true", devices=1)
+    metrics = trainer.validate(module, ValOnlyDM())
+    assert "val/loss" in metrics or metrics, metrics
+    loss = metrics.get("val/loss")
+    assert loss is None or jnp.isfinite(loss)
+
+
+def test_async_rollouts_overlap_sim_and_policy():
+    """SURVEY §7.4.5 / VERDICT r1 #6: with an env pool, rollout wall-clock
+    approaches max(sim, policy) per step instead of their sum, and metrics
+    are identical to the serial protocol."""
+    import threading
+    import time as _time
+
+    import numpy as np
+
+    from pointcloudmatters_tpu.envs.rollout import run_maniskill2_rollouts
+
+    SIM_MS, POLICY_MS, STEPS, EPISODES = 0.004, 0.002, 6, 8
+
+    class SlowFakeEnv:
+        def reset(self, seed=None, options=None):
+            self._seed, self._t = seed, 0
+            return self._obs(), {}
+
+        def _obs(self):
+            return {"agent": {"qpos": np.zeros(4, np.float32)}}
+
+        def step(self, action):
+            _time.sleep(SIM_MS)  # host-bound simulator work
+            self._t += 1
+            done = self._t >= STEPS
+            return self._obs(), 0.0, done, False, {
+                "success": (self._seed % 2 == 0) if done else False
+            }
+
+    class Stats(dict):
+        pass
+
+    dataset = type("DS", (), {})()
+    dataset.norm_stats = {
+        "qpos_mean": np.zeros(4, np.float32),
+        "qpos_std": np.ones(4, np.float32),
+        "action_mean": np.zeros(4, np.float32),
+        "action_std": np.ones(4, np.float32),
+    }
+    dataset.goal_cond_keys = None
+
+    device_lock = threading.Lock()
+
+    def predict(data):
+        with device_lock:  # one device: applies serialize
+            _time.sleep(POLICY_MS)
+        return np.zeros((1, 5, 4), np.float32)
+
+    kwargs = dict(
+        predict=predict, dataset=dataset, env_id="PickCube-v0",
+        n_episodes=EPISODES, action_dim=4, num_queries=5,
+        temporal_agg=False, max_steps=STEPS,
+    )
+    t0 = _time.perf_counter()
+    serial = run_maniskill2_rollouts(env=SlowFakeEnv(), **kwargs)
+    t_serial = _time.perf_counter() - t0
+
+    t0 = _time.perf_counter()
+    overlapped = run_maniskill2_rollouts(
+        env=None, env_factory=SlowFakeEnv, num_envs=4, **kwargs
+    )
+    t_async = _time.perf_counter() - t0
+
+    assert overlapped == serial, (overlapped, serial)
+    # 4 workers: ideal speedup bounded by the serialized policy; require a
+    # comfortably-sub-serial wall clock
+    assert t_async < 0.6 * t_serial, (t_async, t_serial)
