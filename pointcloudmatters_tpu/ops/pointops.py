@@ -355,6 +355,51 @@ def random_ball_query_padded(
 
 
 # ---------------------------------------------------------------------------
+# Spatial (Morton) ordering — locality for the chunk-skipping kNN kernel
+# ---------------------------------------------------------------------------
+
+def _part1by2(v: jax.Array) -> jax.Array:
+    """Spread 10 bits over 30 (standard 32-bit Morton dilation)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes_padded(coord: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N, 3), (B, N) -> (B, N) int32 Morton codes (invalid -> INT32_MAX).
+
+    Coordinates are quantized to a 10-bit grid over each cloud's valid
+    bounding box. Purely an ordering key: any spatially-coherent order works
+    for the kNN chunk-skip; exactness of neighbors never depends on it.
+    """
+    c = coord.astype(jnp.float32)
+    v = valid[..., None]
+    big = jnp.float32(_BIG)
+    lo = jnp.min(jnp.where(v, c, big), axis=1, keepdims=True)
+    hi = jnp.max(jnp.where(v, c, -big), axis=1, keepdims=True)
+    scale = 1023.0 / jnp.maximum(hi - lo, 1e-6)
+    q = jnp.clip((c - lo) * scale, 0.0, 1023.0).astype(jnp.int32)
+    code = (
+        _part1by2(q[..., 0])
+        | (_part1by2(q[..., 1]) << 1)
+        | (_part1by2(q[..., 2]) << 2)
+    )
+    return jnp.where(valid, code, jnp.int32(2**31 - 1))
+
+
+def spatial_sort_order(coord: jax.Array, valid: jax.Array) -> jax.Array:
+    """(B, N) int32 permutation: valid points in Morton order, pads at the
+    end. ``coord[order]`` satisfies the packed-front invariant the padded
+    ops expect."""
+    return jnp.argsort(morton_codes_padded(coord, valid), axis=-1).astype(
+        jnp.int32
+    )
+
+
+# ---------------------------------------------------------------------------
 # Grouping / subtraction / aggregation / interpolation
 # ---------------------------------------------------------------------------
 

@@ -159,7 +159,7 @@ def main():
             Transformer,
         )
 
-        for impl in ("dense", "flash"):
+        for impl in ("oneshot", "dense"):
             tr = Transformer(d_model=D, nhead=8, num_encoder_layers=4,
                              num_decoder_layers=7, dim_feedforward=32,
                              dropout=0.1, normalize_before=False,

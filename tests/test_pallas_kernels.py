@@ -184,3 +184,49 @@ class TestOneshotAttention:
         np.testing.assert_allclose(
             np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-3
         )
+
+
+@on_tpu
+class TestChunkSkipKNN:
+    """Ring-order chunk-skipping kNN (ops/pallas_knn2.py) — exact on any
+    input order; the skip is a provable early-out."""
+
+    def _cloud(self, B=4, N=2048, M=256, seed=0, sort=True):
+        from pointcloudmatters_tpu.ops.pointops import spatial_sort_order
+
+        rng = np.random.RandomState(seed)
+        coord = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        counts = np.array([N, N - 300, N // 2, N - 1])[:B]
+        mask = jnp.asarray(np.arange(N)[None] < counts[:, None])
+        q = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+        if sort:
+            order = spatial_sort_order(coord, mask)
+            coord = jnp.take_along_axis(coord, order[..., None], axis=1)
+            mask = jnp.take_along_axis(mask, order, axis=1)
+        return q, coord, mask
+
+    @pytest.mark.parametrize("sort", [True, False])
+    def test_matches_xla(self, sort):
+        from pointcloudmatters_tpu.ops.pallas_knn2 import knn_query_padded_pallas2
+        from pointcloudmatters_tpu.ops.pointops import _knn_query_padded_xla
+
+        q, coord, mask = self._cloud(sort=sort)
+        ref_i, ref_d = _knn_query_padded_xla(q, coord, mask, 16)
+        got_i, got_d = knn_query_padded_pallas2(q, coord, mask, 16)
+        np.testing.assert_allclose(
+            np.asarray(ref_d), np.asarray(got_d), atol=1e-4
+        )
+        agree = (np.asarray(ref_i) == np.asarray(got_i)).mean()
+        assert agree > 0.98, agree  # exact ties may order differently
+
+    def test_short_segments_pad_with_minus_one(self):
+        from pointcloudmatters_tpu.ops.pallas_knn2 import knn_query_padded_pallas2
+
+        rng = np.random.RandomState(1)
+        coord = jnp.asarray(rng.rand(2, 512, 3), jnp.float32)
+        mask = jnp.asarray(np.arange(512)[None] < np.array([[5], [512]]))
+        q = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+        idx, d2 = knn_query_padded_pallas2(q, coord, mask, 16)
+        assert bool(jnp.all(idx[0, :, 5:] == -1))
+        assert bool(jnp.all(d2[0, :, 5:] >= 1e9))
+        assert bool(jnp.all(idx[1] >= 0))
