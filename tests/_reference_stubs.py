@@ -166,7 +166,16 @@ def install() -> bool:
 
     _stub("torchvision.transforms", Normalize=_Normalize, Compose=list,
           ToTensor=_ToTensor, functional=None)
-    _stub("torchvision.transforms.functional")
+
+    def _center_crop(img, output_size):
+        import torch  # noqa: F401
+
+        h, w = output_size
+        H, W = img.shape[-2], img.shape[-1]
+        top, left = (H - h) // 2, (W - w) // 2
+        return img[..., top:top + h, left:left + w]
+
+    _stub("torchvision.transforms.functional", center_crop=_center_crop)
     tv.transforms = sys.modules["torchvision.transforms"]
 
     try:  # pragma: no cover

@@ -594,3 +594,77 @@ class TestConditionalUnet1DParity:
         import pointcloudmatters_tpu.models.components.diffusion_policy.diffusion.conditional_unet1d as M  # noqa: E501
 
         return M.port_torch_state(ref)
+
+
+# ---------------------------------------------------------------------------
+# CropRandomizer (full n-crop surface)
+# ---------------------------------------------------------------------------
+
+
+class TestCropRandomizerParity:
+    def _ref(self, num_crops=3, pos_enc=False):
+        from src.models.components.diffusion_policy.vision.crop_randomizer import (  # noqa: E501
+            CropRandomizer as RefCR,
+        )
+
+        ref = RefCR(input_shape=(3, 16, 20), crop_height=10, crop_width=12,
+                    num_crops=num_crops, pos_enc=pos_enc)
+        ref.eval()
+        return ref
+
+    def _ours(self, num_crops=3, pos_enc=False):
+        from pointcloudmatters_tpu.models.components.diffusion_policy.vision.crop_randomizer import (  # noqa: E501
+            CropRandomizer,
+        )
+
+        return CropRandomizer(input_shape=(16, 20, 3), crop_height=10,
+                              crop_width=12, num_crops=num_crops,
+                              pos_enc=pos_enc)
+
+    def test_eval_center_crop_and_expand(self):
+        rng = np.random.RandomState(0)
+        x = rng.rand(4, 3, 16, 20).astype(np.float32)  # NCHW for ref
+        ref = self._ref()
+        with torch.no_grad():
+            r = ref.forward_in(n2t(x)).numpy()  # (B*N, C, CH, CW)
+        ours = self._ours()
+        o = ours.apply({}, jnp.asarray(x.transpose(0, 2, 3, 1)),
+                       train=False, method="forward_in")
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 3, 1, 2), r, atol=1e-6
+        )
+
+    def test_forward_out_mean(self):
+        rng = np.random.RandomState(1)
+        feats = rng.rand(12, 7).astype(np.float32)  # B=4, N=3
+        ref = self._ref()
+        r = ref.forward_out(n2t(feats)).numpy()
+        o = self._ours().apply({}, jnp.asarray(feats), method="forward_out")
+        np.testing.assert_allclose(np.asarray(o), r, atol=1e-6)
+
+    def test_crop_from_indices_matches(self):
+        from src.models.components.diffusion_policy.vision.crop_randomizer import (  # noqa: E501
+            crop_image_from_indices as ref_crop,
+        )
+        from pointcloudmatters_tpu.models.components.diffusion_policy.vision.crop_randomizer import (  # noqa: E501
+            crop_image_from_indices,
+        )
+
+        rng = np.random.RandomState(2)
+        imgs = rng.rand(4, 3, 16, 20).astype(np.float32)
+        inds = np.stack([rng.randint(0, 5, (4, 2)),
+                         rng.randint(0, 7, (4, 2))], axis=-1).astype(np.int64)
+        r = ref_crop(n2t(imgs), torch.from_numpy(inds), 10, 12).numpy()
+        o = crop_image_from_indices(
+            jnp.asarray(imgs.transpose(0, 2, 3, 1)), jnp.asarray(inds), 10, 12
+        )
+        np.testing.assert_allclose(
+            np.asarray(o).transpose(0, 1, 4, 2, 3), r, atol=1e-6
+        )
+
+    def test_output_shapes(self):
+        ref = self._ref(pos_enc=True)
+        ours = self._ours(pos_enc=True)
+        assert ref.output_shape_in() == [5, 10, 12]
+        assert ours.output_shape_in() == [10, 12, 5]
+        assert ref.output_shape_out([64]) == ours.output_shape_out([64])
