@@ -71,51 +71,94 @@ def make_multiview_cameras(CameraConfig, look_at):
     return cams
 
 
-def make_softbody_multiview_cameras(CameraConfig, look_at):
-    """The soft-body (MPM) tasks use a different rig than the rigid tasks
-    (`mpm/hang_env.py:174-266`): front at a fixed euler pose, back/right/left
-    at radius 0.45 z=0.6, and left/right + up/down rings at radius 0.45
-    z=0.5, all 128^2 fov pi/2."""
+def _euler0bc_quat(b, c):
+    """wxyz quaternion for transforms3d ``euler2quat(0, b, c)`` (sxyz:
+    R = Rz(c) @ Ry(b)) without the transforms3d dependency."""
     try:
         from transforms3d.euler import euler2quat
-        front_q = euler2quat(0, np.pi / 5, np.pi)
-    except ImportError:  # same pose, precomputed (w, x, y, z)
-        front_q = [
-            np.cos(np.pi / 10) * 0.0 + 0.0,  # placeholder; replaced below
-        ]
-        # euler2quat(0, b, c) with sxyz: q = Rz(c)*Ry(b) in wxyz
-        b, c = np.pi / 5, np.pi
+
+        return list(euler2quat(0, b, c))
+    except ImportError:
         cb, sb = np.cos(b / 2), np.sin(b / 2)
         cc, sc = np.cos(c / 2), np.sin(c / 2)
-        front_q = [cb * cc, -sb * sc, sb * cc, cb * sc]
+        return [cb * cc, -sb * sc, sb * cc, cb * sc]
 
+
+# Per-task soft-body (MPM) MultiView rigs — each task defines its OWN rig in
+# the reference; parameters transcribed from `mpm/{hang,pour,fill,excavate}
+# _env.py::_register_cameras`:
+#   front: fixed pose (p, euler2quat(0, pitch, yaw))
+#   back/right/left: look_at(eye, (-0.1, 0, 0.1)), 128^2, fov pi/2
+#   rings: left_camera_A at (r cos(-a), r sin(-a), ring_z) per angle A,
+#     down_camera_A at (r cos(-a), 0, ring_z + down_sign * r sin(-a));
+#     only Hang adds the right_camera_A / up_camera_A mirrors.
+#   max_episode_steps: Hang/Pour 350, Fill/Excavate 250.
+MPM_RIGS = {
+    # hang_env.py:174-266 / :20 (350 steps)
+    "Hang": dict(
+        front_p=(0.45, 0.0, 0.5), front_euler=(np.pi / 5, np.pi),
+        back=(-0.45, 0.1, 0.6), right=(0, 0.45, 0.6), left=(0, -0.45, 0.6),
+        r=0.45, ring_z=0.5, angles=(5, 10, 30), down_sign=+1.0,
+        with_right_up=True, max_steps=350,
+    ),
+    # pour_env.py:236-296 / :84 (350 steps) — 5/10-degree rings only
+    "Pour": dict(
+        front_p=(0.4, 0.0, 0.3), front_euler=(np.pi / 10, -np.pi),
+        back=(-0.4, 0.1, 0.3), right=(0, 0.4, 0.3), left=(0.1, -0.4, 0.3),
+        r=0.4, ring_z=0.3, angles=(5, 10), down_sign=+1.0,
+        with_right_up=False, max_steps=350,
+    ),
+    # fill_env.py:130-190 / :43 (250 steps) — negative radius, z 0.4,
+    # down cameras at ring_z - r*sin(-a)
+    "Fill": dict(
+        front_p=(-0.4, 0.0, 0.4), front_euler=(np.pi / 6, 0.0),
+        back=(0.2, -0.1, 0.4), right=(0, 0.2, 0.4), left=(0, -0.2, 0.4),
+        r=-0.4, ring_z=0.4, angles=(5, 10, 30), down_sign=-1.0,
+        with_right_up=False, max_steps=250,
+    ),
+    # excavate_env.py:148-213 / :16 (250 steps)
+    "Excavate": dict(
+        front_p=(-0.2, 0.0, 0.4), front_euler=(np.pi / 6, 0.0),
+        back=(0.2, -0.1, 0.4), right=(0, 0.2, 0.4), left=(0, -0.2, 0.4),
+        r=-0.2, ring_z=0.4, angles=(5, 10), down_sign=-1.0,
+        with_right_up=False, max_steps=250,
+    ),
+}
+
+
+def make_softbody_multiview_cameras(task, CameraConfig, look_at):
+    """Per-task MPM MultiView rig (see ``MPM_RIGS``)."""
+    rig = MPM_RIGS[task]
+    front_q = _euler0bc_quat(*rig["front_euler"])
     cams = [
-        CameraConfig("front_camera", [0.45, -0.0, 0.5], list(front_q),
+        CameraConfig("front_camera", list(rig["front_p"]), list(front_q),
                      128, 128, np.pi / 2, 0.01, 10),
-        _camera_cfg(CameraConfig, look_at, "back_camera", (-0.45, 0.1, 0.6)),
-        _camera_cfg(CameraConfig, look_at, "right_camera", (0, 0.45, 0.6)),
-        _camera_cfg(CameraConfig, look_at, "left_camera", (0, -0.45, 0.6)),
+        _camera_cfg(CameraConfig, look_at, "back_camera", rig["back"]),
+        _camera_cfg(CameraConfig, look_at, "right_camera", rig["right"]),
+        _camera_cfg(CameraConfig, look_at, "left_camera", rig["left"]),
     ]
-    r = 0.45
-    for angle in MULTIVIEW_ANGLES:
+    r, z = rig["r"], rig["ring_z"]
+    for angle in rig["angles"]:
         a = np.radians(angle)
         cams.append(_camera_cfg(
             CameraConfig, look_at, f"left_camera_{angle}",
-            (r * np.cos(-a), r * np.sin(-a), 0.5),
+            (r * np.cos(-a), r * np.sin(-a), z),
         ))
-        cams.append(_camera_cfg(
-            CameraConfig, look_at, f"right_camera_{angle}",
-            (r * np.cos(a), r * np.sin(a), 0.5),
-        ))
-    for angle in MULTIVIEW_ANGLES:
+        if rig["with_right_up"]:
+            cams.append(_camera_cfg(
+                CameraConfig, look_at, f"right_camera_{angle}",
+                (r * np.cos(a), r * np.sin(a), z),
+            ))
+    for angle in rig["angles"]:
         a = np.radians(angle)
-        cams.append(_camera_cfg(
-            CameraConfig, look_at, f"up_camera_{angle}",
-            (r * np.cos(a), 0, 0.5 + r * np.sin(a)),
-        ))
+        if rig["with_right_up"]:
+            cams.append(_camera_cfg(
+                CameraConfig, look_at, f"up_camera_{angle}",
+                (r * np.cos(a), 0, z + r * np.sin(a)),
+            ))
         cams.append(_camera_cfg(
             CameraConfig, look_at, f"down_camera_{angle}",
-            (r * np.cos(-a), 0, 0.5 + r * np.sin(-a)),
+            (r * np.cos(-a), 0, z + rig["down_sign"] * r * np.sin(-a)),
         ))
     return cams
 
@@ -183,18 +226,22 @@ def register_custom_envs() -> bool:
                  override=True)(peg3)
     base_classes["PegInsertionSide-3steps"] = peg3
 
-    # --- MultiView rigs (soft-body tasks use the reference's MPM rig —
-    # radius 0.45, z 0.5, up/down+left/right rings; see MPM_NOTES.md)
+    # --- MultiView rigs. Rigid tasks share one rig (200 steps); each
+    # soft-body task has its own reference-defined rig + step budget
+    # (``MPM_RIGS``: Hang/Pour 350 steps, Fill/Excavate 250).
     SOFTBODY_TASKS = {"Hang", "Pour", "Fill", "Excavate"}
     for task in MULTIVIEW_TASKS:
         base = base_classes.get(task)
         if base is None:
             continue
-        rig = (
-            make_softbody_multiview_cameras
-            if task in SOFTBODY_TASKS else make_multiview_cameras
-        )
-        max_steps = 350 if task in SOFTBODY_TASKS else 200
+        if task in SOFTBODY_TASKS:
+            rig = lambda CC, la, task=task: make_softbody_multiview_cameras(
+                task, CC, la
+            )
+            max_steps = MPM_RIGS[task]["max_steps"]
+        else:
+            rig = make_multiview_cameras
+            max_steps = 200
         cls = type(f"{task.replace('-', '')}MultiViewEnv", (base,), {
             "_register_cameras":
                 lambda self, rig=rig: rig(CameraConfig, look_at),

@@ -138,18 +138,19 @@ def _drive_episodes(
         errors: list = []
 
         def worker():
-            w_env = env_factory()
+            w_env = None
             try:
+                w_env = env_factory()
                 while True:
                     try:
                         idx = todo.get_nowait()
                     except _queue.Empty:
                         return
-                    try:
-                        results[idx] = episode_fn(w_env, idx)
-                    except Exception as e:  # noqa: BLE001
-                        errors.append(e)
-                        return
+                    results[idx] = episode_fn(w_env, idx)
+            except Exception as e:  # noqa: BLE001
+                # env construction failures land here too — a dead worker
+                # must surface, not silently shrink the episode set
+                errors.append(e)
             finally:
                 close = getattr(w_env, "close", None)
                 if close is not None:

@@ -15,10 +15,15 @@ across the sequential q-tile grid dimension, and the dropout mask is
 regenerated from the same per-(head, q-tile) seed, so train-time gradients
 are exact for the sampled mask.
 
-Dropout semantics match the dense path (flax ``broadcast_dropout=True``):
-one mask shared across the batch dim, distinct per head/query/key. The seed
-is a traced ``(1,)`` int32 delivered by scalar prefetch (same scheme as the
-vendored flash kernel), so per-step reseeding does not recompile.
+Dropout semantics deliberately DEVIATE from the dense path: flax
+``broadcast_dropout=True`` shares one mask across batch AND head dims (and
+the torch reference drops fully per-element); this kernel shares across the
+batch dim but draws a distinct mask per head — switching backends therefore
+changes the train-time noise correlation structure (never the expectation).
+Per-head masks are the better regularizer of the three and free here, since
+the mask is regenerated per (head, q-tile) anyway. The seed is a traced
+``(1,)`` int32 delivered by scalar prefetch (same scheme as the vendored
+flash kernel), so per-step reseeding does not recompile.
 
 Reference counterpart: torch ``nn.MultiheadAttention`` inside
 `act/transformer.py` — the math is identical; this is purely an HBM-traffic

@@ -23,8 +23,13 @@ Two things make the early-out actually fire:
    the traced ring index is a cheap leading-dim dynamic load.
 
 The skip is always correct on any input order; sorting only changes speed.
-Semantics identical to ``pointops.knn_query_padded`` (ascending d2, -1/1e10
-padding for missing neighbors; exact ties broken toward the smaller index).
+Semantics match ``pointops.knn_query_padded`` (ascending d2, -1/1e10 padding
+for missing neighbors) except that **exact-distance ties are broken in an
+unspecified order**: ring-ordered chunk visitation + the ``chunk_min >= tau``
+early-out mean duplicated points (equal d2) can resolve to different indices
+than the XLA path. The reference CUDA kernel's max-heap tie order
+(`knn_query_cuda_kernel.cu:60-104`) is equally unspecified, so no caller may
+rely on tie order on any backend.
 """
 
 from __future__ import annotations
