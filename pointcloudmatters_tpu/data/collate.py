@@ -28,6 +28,39 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def _part1by2_np(v: np.ndarray) -> np.ndarray:
+    """Spread 10 bits over 30 (host mirror of `ops/pointops.py` Morton)."""
+    v = v & 0x3FF
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_order(coord: np.ndarray) -> np.ndarray:
+    """Morton (Z-curve) permutation of an (N, 3) cloud, quantized to a 10-bit
+    grid over its bounding box. Spatially-coherent point order is what lets
+    the chunk-skipping kNN kernel (`ops/pallas_knn2.py`) early-out: sorting
+    here, on the host in the collate worker, costs ~100 us per cloud where a
+    device-side argsort costs ~8 ms per batch. Point clouds are sets — any
+    permutation of the valid points is semantically identical (FPS picks a
+    different but equally valid sample; exact-kNN results are order-invariant
+    up to distance ties)."""
+    c = coord.astype(np.float32, copy=False)
+    if len(c) == 0:
+        return np.empty((0,), np.int64)
+    lo = c.min(axis=0)
+    scale = 1023.0 / np.maximum(c.max(axis=0) - lo, 1e-6)
+    q = np.clip((c - lo) * scale, 0.0, 1023.0).astype(np.int32)
+    code = (
+        _part1by2_np(q[:, 0])
+        | (_part1by2_np(q[:, 1]) << 1)
+        | (_part1by2_np(q[:, 2]) << 2)
+    )
+    return np.argsort(code, kind="stable")
+
+
 def default_collate(batch: Sequence):
     """Recursively stack a list of numpy samples."""
     elem = batch[0]
@@ -42,19 +75,28 @@ def default_collate(batch: Sequence):
 
 
 def pad_point_clouds(pcds: list[dict], pad_multiple: int = 512,
-                     max_points: int | None = None) -> dict:
+                     max_points: int | None = None,
+                     spatial_sort: bool = True) -> dict:
     """Pad a list of variable-length pcd dicts to one dense masked batch.
 
     Returns a dict with each per-point key stacked to ``(P, N, ...)`` plus:
     - ``valid``: (P, N) bool — True for real points (packed at the front)
     - ``count``: (P,) int32 — true point counts
     - ``offset``: (P,) int32 — cumulative counts (packed-layout parity)
+
+    ``spatial_sort`` (default on) reorders each cloud's valid points along a
+    Morton curve so the device-side chunk-skipping kNN kernel can early-out;
+    see ``morton_order``.
     """
     counts = np.array([len(p["coord"]) for p in pcds], np.int32)
     n_max = int(counts.max()) if len(counts) else 0
     n_pad = _round_up(max(n_max, 1), pad_multiple)
     if max_points is not None:
         n_pad = min(n_pad, max_points)
+
+    orders = None
+    if spatial_sort:
+        orders = [morton_order(np.asarray(p["coord"])[:n_pad]) for p in pcds]
 
     out: dict = {}
     present = [k for k in _POINT_KEYS if k in pcds[0]]
@@ -64,6 +106,8 @@ def pad_point_clouds(pcds: list[dict], pad_multiple: int = 512,
         stacked = np.zeros(shape, first.dtype)
         for i, p in enumerate(pcds):
             arr = np.asarray(p[key])[:n_pad]
+            if orders is not None:
+                arr = arr[orders[i]]
             stacked[i, : len(arr)] = arr
         out[key] = stacked
     valid = np.zeros((len(pcds), n_pad), bool)

@@ -42,13 +42,12 @@ from pointcloudmatters_tpu.models.components.loss.misc import (
     masked_action_loss,
 )
 from pointcloudmatters_tpu.models.components.nn_utils import (
-    MaskedBatchNorm,
+    GroupedBNReluMax,
     get_sinusoid_encoding_table,
     reparametrize,
 )
 from pointcloudmatters_tpu.ops.pointops import (
     farthest_point_sampling_padded,
-    gather_rows_padded,
     knn_query_padded,
 )
 from pointcloudmatters_tpu.utils.rotation_conversions import (
@@ -282,7 +281,7 @@ class ACTPCD(ACT):
         else:
             proj_dim = self.backbone.in_channels
         self.pcd_linear = nn.Dense(proj_dim, use_bias=False, name="pcd_linear")
-        self.pcd_bn = MaskedBatchNorm(name="pcd_bn")
+        self.pcd_bn = GroupedBNReluMax(name="pcd_bn")
 
     # ------------------------------------------------------------------
     # FPS + kNN-group token builder (`act/act.py:384-465`)
@@ -315,8 +314,9 @@ class ACTPCD(ACT):
 
         Projecting the N source points once instead of every (m, k) gather
         copy cuts the dominant matmul M*K/N-fold (3.2x at the flagship
-        shapes) and shrinks the gathered tensor from (3+C)-wide to
-        proj_dim-wide. BN statistics see the identical value population.
+        shapes). The gather→BN→ReLU→max tail then runs through the fused
+        ``GroupedBNReluMax`` (bit-exact — see its docstring), so the
+        (B, m, k, D) neighborhood tensor never reaches HBM.
         """
         idx = self._fps_indices(coord, valid, fg_mask)
         new_xyz = jnp.take_along_axis(coord, idx[..., None], axis=1)
@@ -324,12 +324,7 @@ class ACTPCD(ACT):
         zeros_f = jnp.zeros(new_xyz.shape[:-1] + (feat.shape[-1],), feat.dtype)
         g = self.pcd_linear(jnp.concatenate([coord, feat], axis=-1))  # (B,N,D)
         h = self.pcd_linear(jnp.concatenate([new_xyz, zeros_f], axis=-1))
-        gg = gather_rows_padded(g, nn_idx)  # (B, m, k, D)
-        # holes (idx -1) contributed all-zero rows to the reference's linear
-        x = jnp.where((nn_idx < 0)[..., None], 0.0, gg - h[:, :, None, :])
-        x = self.pcd_bn(x, use_running_average=not train)
-        x = jax.nn.relu(x)
-        x = jnp.max(x, axis=2)  # maxpool over the k neighbors
+        x = self.pcd_bn(g, h, nn_idx, use_running_average=not train)
         return new_xyz, x, idx
 
     def forward_pcd_embed(self, pcd_dict: dict, train: bool):

@@ -16,10 +16,13 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from pointcloudmatters_tpu.models.components.nn_utils import MaskedBatchNorm
+from pointcloudmatters_tpu.models.components.nn_utils import (
+    GroupedBNReluMax,
+    MaskedBatchNorm,
+)
 from pointcloudmatters_tpu.ops.pointops import (
     farthest_point_sampling_padded,
-    knn_query_and_group_padded,
+    knn_query_padded,
 )
 
 
@@ -54,7 +57,7 @@ class PCDObsEncoder(nn.Module):
         else:
             proj_in = self.in_channel
         self.linear = nn.Dense(proj_in, use_bias=False, name="linear")
-        self.bn = MaskedBatchNorm(name="bn")
+        self.bn = GroupedBNReluMax(name="bn")
         blocks = []
         for i in range(self.projector_layers):
             blocks.append(nn.Dense(self.projector_channels[i],
@@ -83,15 +86,18 @@ class PCDObsEncoder(nn.Module):
         return fg_idx
 
     def pcd_sampling(self, coord, feat, valid, fg_mask=None, train=False):
+        # fused token builder — the bias-free linear over the grouped
+        # [xyz[nn] - new_xyz, feat[nn]] rows splits as
+        # Dense([xyz, feat])[nn] - Dense([new_xyz, 0]); the gather→BN→ReLU→max
+        # tail runs through GroupedBNReluMax (bit-exact, see its docstring)
         idx = self._fps_indices(coord, valid, fg_mask)
         new_xyz = jnp.take_along_axis(coord, idx[..., None], axis=1)
-        grouped, _ = knn_query_and_group_padded(
-            feat, coord, valid, new_xyz, self.pcd_nsample, with_xyz=True
-        )
-        x = self.linear(grouped)
-        x = self.bn(x, use_running_average=not train)
-        x = jax.nn.relu(x)
-        return new_xyz, jnp.max(x, axis=2), idx  # (B, npoints, proj_in)
+        nn_idx, _ = knn_query_padded(new_xyz, coord, valid, self.pcd_nsample)
+        zeros_f = jnp.zeros(new_xyz.shape[:-1] + (feat.shape[-1],), feat.dtype)
+        g = self.linear(jnp.concatenate([coord, feat], axis=-1))  # (B, N, D)
+        h = self.linear(jnp.concatenate([new_xyz, zeros_f], axis=-1))
+        x = self.bn(g, h, nn_idx, use_running_average=not train)
+        return new_xyz, x, idx  # (B, npoints, proj_in)
 
     def encode_pcd(self, pcd_dict: dict, train: bool) -> jax.Array:
         coord = pcd_dict["coord"]

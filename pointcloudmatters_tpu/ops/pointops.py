@@ -267,10 +267,32 @@ def knn_query_padded(
     chunk: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN over padded batches; see `_knn_query_padded_xla` for
-    semantics. Dispatches to the fused Pallas kernel on TPU
-    (`ops/pallas_knn.py`, 5-13x: the (B, M, N) distance matrix never leaves
-    VMEM)."""
+    semantics. On TPU dispatches to the chunk-skipping Pallas kernel
+    (`ops/pallas_knn2.py`): queries are Morton-permuted on device (cheap —
+    an argsort over M keys) so spatially-near queries share tiles, results
+    are un-permuted back, and the reference cloud is expected Morton-sorted
+    by the collate (`data/collate.py pad_point_clouds(spatial_sort=True)`) —
+    the kernel is exact on ANY order, sortedness only enables its early-out.
+    ``PCM_KNN_IMPL=baseline`` falls back to the dense-scan kernel
+    (`ops/pallas_knn.py`)."""
     if _use_pallas() and nsample <= 128:
+        import os
+
+        if os.environ.get("PCM_KNN_IMPL", "chunkskip") == "chunkskip":
+            from pointcloudmatters_tpu.ops.pallas_knn2 import (
+                knn_query_padded_pallas2,
+            )
+
+            qvalid = jnp.ones(new_xyz.shape[:2], bool)
+            perm = jnp.argsort(
+                morton_codes_padded(new_xyz, qvalid), axis=-1
+            ).astype(jnp.int32)
+            inv = jnp.argsort(perm, axis=-1).astype(jnp.int32)
+            q_sorted = jnp.take_along_axis(new_xyz, perm[..., None], axis=1)
+            idx_s, d2_s = knn_query_padded_pallas2(q_sorted, xyz, mask, nsample)
+            idx = jnp.take_along_axis(idx_s, inv[..., None], axis=1)
+            d2 = jnp.take_along_axis(d2_s, inv[..., None], axis=1)
+            return idx, d2
         from pointcloudmatters_tpu.ops.pallas_knn import knn_query_padded_pallas
 
         return knn_query_padded_pallas(new_xyz, xyz, mask, nsample)

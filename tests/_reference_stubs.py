@@ -270,3 +270,34 @@ def install_pointops_adapters() -> None:
     stub.farthest_point_sampling = farthest_point_sampling
     stub.knn_query_and_group = knn_query_and_group
     stub.knn_query = knn_query
+
+
+def install_pointops_autograd() -> None:
+    """Like ``install_pointops_adapters`` but with a torch-autograd
+    ``knn_query_and_group``: neighbor *indices* come from our oracle-tested
+    kNN (indices carry no gradient anyway), while the gather + relative-xyz
+    concat runs in differentiable torch ops with the reference's
+    ``sign(idx+1)`` hole masking (`functions/grouping.py:35-59`). Needed by
+    the training-trajectory parity test, where gradients must flow through
+    the grouped features into the backbone."""
+    import torch
+
+    install_pointops_adapters()
+    stub = sys.modules["pointops"]
+    knn_query = stub.knn_query
+
+    def knn_query_and_group(x, p, offset=None, new_xyz=None, new_offset=None,
+                            idx=None, nsample=None, with_xyz=False):
+        if new_xyz is None:
+            new_xyz = p
+        if idx is None:
+            idx, _ = knn_query(nsample, p, offset, new_xyz, new_offset)
+        keep = torch.sign(idx + 1).to(x.dtype).unsqueeze(-1)
+        safe = idx.clamp(min=0).long()
+        gf = x[safe] * keep  # (m, k, c), autograd through x
+        if with_xyz:
+            gx = (p[safe] - new_xyz.unsqueeze(1)) * keep
+            return torch.cat([gx, gf], dim=-1), idx
+        return gf, idx
+
+    stub.knn_query_and_group = knn_query_and_group
