@@ -65,55 +65,66 @@ def _keep_mask(seed, h, qt, shape, rate: float):
     return ibits >= jnp.int32(threshold - 2147483648)
 
 
-def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, scale, l_actual, rate):
+def _fwd_kernel(seed_ref, q_ref, k_ref, v_ref, o_ref, *, l_actual, rate):
+    # q arrives pre-scaled by the logit scale (folded outside the kernel),
+    # and normalization is deferred: o = (e_drop @ v) * 1/denom — the
+    # full-tile division p = e/denom never happens. Both cut whole f32
+    # passes over the (bq, Lp) score tile; at d_head 64 this kernel is
+    # VPU-bound on exactly those passes, not on the MXU.
     h = pl.program_id(1)
     qt = pl.program_id(2)
-    q = q_ref[0, 0]  # (bq, d) bf16
+    q = q_ref[0, 0]  # (bq, d) bf16, pre-scaled
     k = k_ref[0, 0]  # (Lp, d)
     v = v_ref[0, 0]
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (bq, Lp) f32
+    )  # (bq, Lp) f32
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < l_actual, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    p = e / denom
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0], h, qt, p.shape, rate)
-        p = jnp.where(keep, p * (1.0 / (1.0 - rate)), 0.0)
-    o_ref[0, 0] = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        keep = _keep_mask(seed_ref[0], h, qt, e.shape, rate)
+        e = jnp.where(keep, e * (1.0 / (1.0 - rate)), 0.0)
+    acc = jax.lax.dot_general(
+        e.astype(v.dtype), v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    )  # (bq, d) f32, un-normalized
+    o_ref[0, 0] = (acc * pl.reciprocal(denom, approx=False)).astype(o_ref.dtype)
 
 
 def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
-                dk_acc, dv_acc, *, scale, l_actual, rate, n_qt):
+                dk_acc, dv_acc, *, l_actual, rate, n_qt):
+    # Recomputes the forward tile (flash-style) with the same pass-trimming
+    # as the forward: q is pre-scaled, and all per-row 1/denom factors are
+    # folded into fused FMA passes instead of materializing p = e/denom.
+    # With r = 1/denom, z = dp_drop * (keep·inv·r):
+    #   ds = p ⊙ (dp − rowsum(dp ⊙ p)) = e ⊙ (z − r·rowsum(z ⊙ e))
     h = pl.program_id(1)
     qt = pl.program_id(2)
-    q = q_ref[0, 0]
+    q = q_ref[0, 0]  # (bq, d) bf16, pre-scaled
     k = k_ref[0, 0]
     v = v_ref[0, 0]
     do = do_ref[0, 0]  # (bq, d) bf16
 
     s = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale
+    )
     col = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
     s = jnp.where(col < l_actual, s, NEG_INF)
     m = jnp.max(s, axis=1, keepdims=True)
     e = jnp.exp(s - m)
     denom = jnp.sum(e, axis=1, keepdims=True)
-    p = e / denom  # (bq, Lp) f32
+    r = pl.reciprocal(denom, approx=False)  # (bq, 1) f32
 
     if rate > 0.0:
-        keep = _keep_mask(seed_ref[0], h, qt, p.shape, rate)
+        keep = _keep_mask(seed_ref[0], h, qt, e.shape, rate)
         inv = 1.0 / (1.0 - rate)
-        p_drop = jnp.where(keep, p * inv, 0.0)
+        p_drop = jnp.where(keep, e * (inv * r), 0.0)
     else:
-        p_drop = p
+        keep, inv = None, 1.0
+        p_drop = e * r
 
     # dV += P_drop^T @ dO  -> (Lp, d)
     dv_c = jax.lax.dot_general(
@@ -125,17 +136,16 @@ def _bwd_kernel(seed_ref, q_ref, k_ref, v_ref, do_ref, dq_ref, dk_ref, dv_ref,
         do, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )
     if rate > 0.0:
-        dp = jnp.where(keep, dp_drop * inv, 0.0)
+        z = jnp.where(keep, dp_drop * (inv * r), 0.0)
     else:
-        dp = dp_drop
-    # softmax backward: dS = P * (dP - sum(dP*P))
-    ds = p * (dp - jnp.sum(dp * p, axis=1, keepdims=True))
-    ds = (ds * scale).astype(q.dtype)  # (bq, Lp) bf16
-    # dQ = dS @ K
+        z = dp_drop * r
+    u = r * jnp.sum(z * e, axis=1, keepdims=True)
+    ds = (e * (z - u)).astype(q.dtype)  # (bq, Lp) bf16
+    # dQ_pre = dS @ K  (caller applies the scale chain rule outside)
     dq_ref[0, 0] = jax.lax.dot_general(
         ds, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
     ).astype(dq_ref.dtype)
-    # dK += dS^T @ Q
+    # dK += dS^T @ Q_pre
     dk_c = jax.lax.dot_general(
         ds, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
     )
@@ -182,10 +192,13 @@ def _fwd_rule(q, k, v, seed, scale, rate, block_q):
     B, H, L, D = q.shape
     bq = min(block_q, max(L, 128))
     lp = -(-L // bq) * bq
-    qp, kp, vp = _pad_l(q, lp), _pad_l(k, lp), _pad_l(v, lp)
+    # fold the logit scale into q once here (cheap on (B,H,L,D)) so the
+    # kernel never spends a full f32 pass scaling the (bq, Lp) score tile
+    q_pre = q * jnp.asarray(scale, q.dtype)
+    qp, kp, vp = _pad_l(q_pre, lp), _pad_l(k, lp), _pad_l(v, lp)
     n_qt = lp // bq
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, scale=scale, l_actual=L, rate=rate),
+        functools.partial(_fwd_kernel, l_actual=L, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, H, n_qt),
@@ -211,11 +224,12 @@ def _bwd_rule(scale, rate, block_q, res, dout):
     B, H, L, D = q.shape
     bq = min(block_q, max(L, 128))
     lp = -(-L // bq) * bq
-    qp, kp, vp = _pad_l(q, lp), _pad_l(k, lp), _pad_l(v, lp)
+    q_pre = q * jnp.asarray(scale, q.dtype)
+    qp, kp, vp = _pad_l(q_pre, lp), _pad_l(k, lp), _pad_l(v, lp)
     dop = _pad_l(dout, lp)
     n_qt = lp // bq
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, scale=scale, l_actual=L, rate=rate,
+        functools.partial(_bwd_kernel, l_actual=L, rate=rate,
                           n_qt=n_qt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
@@ -245,7 +259,9 @@ def _bwd_rule(scale, rate, block_q, res, dout):
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(seed, qp, kp, vp, dop)
-    return (dq[:, :, :L], dk[:, :, :L], dv[:, :, :L],
+    # the kernel differentiates w.r.t. q_pre = q * scale; chain the scale back
+    dq = dq[:, :, :L] * jnp.asarray(scale, dq.dtype)
+    return (dq, dk[:, :, :L], dv[:, :, :L],
             np.zeros((1,), jax.dtypes.float0))
 
 
