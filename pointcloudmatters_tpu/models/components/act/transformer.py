@@ -30,7 +30,10 @@ import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from pointcloudmatters_tpu.models.components.nn_utils import activation_fn
+from pointcloudmatters_tpu.models.components.nn_utils import (
+    BitsDropout,
+    activation_fn,
+)
 from pointcloudmatters_tpu.ops.attention import (
     make_flash_attention_fn,
     make_oneshot_attention_fn,
@@ -153,7 +156,9 @@ class TransformerEncoderLayer(nn.Module):
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
         norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         act = activation_fn(self.activation)
-        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        # BitsDropout: the residual streams here are (B, L~2051, D) — flax
+        # Dropout's per-element 32-bit threefry costs ~1.6 ms per site on v5e
+        drop = lambda x: BitsDropout(self.dropout, deterministic=deterministic)(x)
         mask = _attention_mask(key_padding_mask)
 
         def with_pos(x):
@@ -184,6 +189,14 @@ class TransformerDecoderLayer(nn.Module):
     dropout: float = 0.1
     activation: str = "relu"
     normalize_before: bool = False
+    # cross-attention backend. At the flagship decoder shape (nq=100 queries
+    # against the 2051-token memory) XLA's dense path WINS: 5.4 ms fwd+bwd
+    # vs 7.0 for the rectangular oneshot kernel (the (B, H, nq, L) f32
+    # tensors are only ~2 GB and XLA fuses well at this size), so "dense" is
+    # the default; "oneshot" is the right choice only if nq grows toward the
+    # memory length. Self-attention (nq x nq) always routes dense via the
+    # adapter's min-seq-len check.
+    attention_impl: str = "dense"
 
     @nn.compact
     def __call__(
@@ -195,6 +208,11 @@ class TransformerDecoderLayer(nn.Module):
         memory_key_padding_mask: Optional[jax.Array] = None,
         deterministic: bool = True,
     ) -> jax.Array:
+        cross_kwargs = {}
+        if self.attention_impl == "flash":
+            cross_kwargs["attention_fn"] = make_flash_attention_fn()
+        elif self.attention_impl == "oneshot":
+            cross_kwargs["attention_fn"] = make_oneshot_attention_fn()
         self_attn = nn.MultiHeadDotProductAttention(
             num_heads=self.nhead,
             qkv_features=self.d_model,
@@ -210,6 +228,7 @@ class TransformerDecoderLayer(nn.Module):
             dropout_rate=self.dropout,
             broadcast_dropout=True,
             name="multihead_attn",
+            **cross_kwargs,
         )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
         ffn_out = nn.Dense(self.d_model, name="linear2")
@@ -217,7 +236,7 @@ class TransformerDecoderLayer(nn.Module):
         norm2 = nn.LayerNorm(epsilon=1e-5, name="norm2")
         norm3 = nn.LayerNorm(epsilon=1e-5, name="norm3")
         act = activation_fn(self.activation)
-        drop = lambda x: nn.Dropout(self.dropout, deterministic=deterministic)(x)
+        drop = lambda x: BitsDropout(self.dropout, deterministic=deterministic)(x)
         mem_mask = _attention_mask(memory_key_padding_mask)
 
         def with_pos(x, p):
@@ -306,6 +325,16 @@ class TransformerDecoder(nn.Module):
     normalize_before: bool = False
     num_layers: int = 6
     return_intermediate: bool = False
+    attention_impl: str = "dense"
+    # How many leading layers to actually COMPUTE at apply time. The ACT
+    # caller consumes only ``hs[0]`` (`act/act.py:262-270` takes the first
+    # intermediate), but XLA does NOT dead-code-eliminate the remaining
+    # layers through jax.grad's saved residuals — measured 5.4 ms per dead
+    # layer at the flagship shape on v5e (6 dead layers = 33 ms/step).
+    # During ``init`` every layer still runs so the parameter tree stays
+    # identical to the reference (ported checkpoints load unchanged).
+    # ``None`` = compute all layers.
+    live_layers: Optional[int] = None
 
     @nn.compact
     def __call__(
@@ -318,12 +347,20 @@ class TransformerDecoder(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         norm = nn.LayerNorm(epsilon=1e-5, name="norm")
+        n_run = self.num_layers
+        if (
+            self.live_layers is not None
+            and self.return_intermediate
+            and not self.is_initializing()
+        ):
+            n_run = min(self.live_layers, self.num_layers)
         intermediate = []
         out = tgt
-        for i in range(self.num_layers):
+        for i in range(n_run):
             out = TransformerDecoderLayer(
                 self.d_model, self.nhead, self.dim_feedforward, self.dropout,
-                self.activation, self.normalize_before, name=f"layers_{i}",
+                self.activation, self.normalize_before,
+                attention_impl=self.attention_impl, name=f"layers_{i}",
             )(out, memory, pos=pos, query_pos=query_pos,
               memory_key_padding_mask=memory_key_padding_mask,
               deterministic=deterministic)
@@ -333,7 +370,7 @@ class TransformerDecoder(nn.Module):
             # final entry re-normed exactly like the reference
             # (`transformer.py:198-203` pops and re-appends)
             intermediate[-1] = norm(out)
-            return jnp.stack(intermediate)  # (num_layers, B, nq, D)
+            return jnp.stack(intermediate)  # (n_run, B, nq, D)
         return norm(out)[None]  # (1, B, nq, D)
 
 
@@ -361,10 +398,16 @@ class Transformer(nn.Module):
     activation: str = "relu"
     normalize_before: bool = False
     return_intermediate_dec: bool = False
-    # encoder self-attention implementation ("dense" | "flash"); the decoder
-    # stays dense — its query side is ~chunk_size tokens and the flash
-    # adapter would route it to dense anyway
+    # attention backend for the encoder self-attention (the full point-token
+    # row). The decoder keeps its own default ("dense" — faster at nq=100,
+    # see TransformerDecoderLayer.attention_impl); the CVAE posterior routes
+    # dense via the adapter's min-seq-len check.
     attention_impl: str = "oneshot"
+    # With return_intermediate_dec the ACT caller consumes only hs[0]; by
+    # default compute just that first decoder layer (params for the rest
+    # still exist — see TransformerDecoder.live_layers). Set to None to
+    # compute every intermediate.
+    decoder_live_layers: Optional[int] = 1
 
     @nn.compact
     def __call__(
@@ -411,7 +454,8 @@ class Transformer(nn.Module):
         hs = TransformerDecoder(
             self.d_model, self.nhead, self.dim_feedforward, self.dropout,
             self.activation, self.normalize_before, self.num_decoder_layers,
-            return_intermediate=self.return_intermediate_dec, name="decoder",
+            return_intermediate=self.return_intermediate_dec,
+            live_layers=self.decoder_live_layers, name="decoder",
         )(tgt, memory, pos=pos, query_pos=query_pos,
           memory_key_padding_mask=key_padding_mask, deterministic=deterministic)
         return hs

@@ -261,6 +261,43 @@ class FrozenBatchNorm(nn.Module):
         return y.astype(self.dtype or x.dtype)
 
 
+class BitsDropout(nn.Module):
+    """Dropout from uint8 random bits — 4x less RNG work than flax Dropout.
+
+    ``flax.linen.Dropout`` draws one 32-bit threefry word per element; for
+    the (B, 2051, 512) residual streams of the ACT encoder that RNG compute
+    (not the HBM traffic) dominates the op — measured ~1.6 ms per dropout on
+    v5e, ~4.7 ms per encoder layer. Drawing uint8 bits quarters the threefry
+    work; the drop rate is quantized to ``ceil(rate*256)/256`` (0.1 ->
+    0.1016), the same documented trade as ``EfficientMHA`` in
+    `act/transformer.py`. Expectation is exactly preserved (inverse scaling
+    uses the quantized keep probability); only the train-time noise
+    granularity changes vs the reference's torch dropout.
+    """
+
+    rate: float
+    deterministic: Optional[bool] = None
+
+    @nn.compact
+    def __call__(self, x: jax.Array,
+                 deterministic: Optional[bool] = None) -> jax.Array:
+        deterministic = nn.merge_param(
+            "deterministic", self.deterministic, deterministic
+        )
+        if self.rate == 0.0 or deterministic:
+            return x
+        threshold = int(np.ceil(self.rate * 256))
+        if threshold >= 256:
+            return jnp.zeros_like(x)
+        keep_prob = (256 - threshold) / 256.0
+        bits = jax.random.bits(self.make_rng("dropout"), x.shape, jnp.uint8)
+        return jnp.where(
+            bits >= jnp.uint8(threshold),
+            x * jnp.asarray(1.0 / keep_prob, x.dtype),
+            jnp.zeros((), x.dtype),
+        )
+
+
 class MLP(nn.Module):
     """Simple ReLU MLP head (DETR-style)."""
 

@@ -108,9 +108,8 @@ def make_oneshot_attention_fn(block_q: int = 256, min_seq_len: int = 512):
             not _pallas_enabled()
             or bias is not None
             or mask is not None  # ACT's PCD encoder never masks; CVAE -> dense
-            or Lq != Lk  # self-attention shapes only
             or (use_dropout and not broadcast_dropout)
-            or Lq < min_seq_len
+            or Lk < min_seq_len  # the key row is what the kernel amortizes
         ):
             return nn.dot_product_attention(
                 query, key, value, bias=bias, mask=mask,

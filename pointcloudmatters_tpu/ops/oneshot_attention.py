@@ -177,8 +177,12 @@ def _pad_l(x, lp):
 def oneshot_attention(q, k, v, seed, scale, rate=0.0, block_q=256):
     """Exact softmax attention, (B, H, L, D) layout, bf16 in/out.
 
+    Supports rectangular attention (Lq != Lk) — the decoder's cross-attention
+    over the point-token memory is the other (B, H, Lq, Lk)-sized HBM hazard
+    in the ACT step (reference `act/transformer.py:210-283`).
+
     Args:
-        q/k/v: (B, H, L, D).
+        q: (B, H, Lq, D); k/v: (B, H, Lk, D).
         seed: (1,) int32 dropout seed (traced; ignored when ``rate == 0``).
         scale: logit scale (1/sqrt(D)).
         rate: attention-weight dropout rate.
@@ -188,80 +192,86 @@ def oneshot_attention(q, k, v, seed, scale, rate=0.0, block_q=256):
     return out
 
 
+def _tiling(q_shape, k_shape, block_q):
+    Lq, Lk = q_shape[2], k_shape[2]
+    bq = min(block_q, max(Lq, 128))
+    lqp = -(-Lq // bq) * bq
+    lkp = -(-Lk // 128) * 128
+    return bq, lqp, lkp, lqp // bq
+
+
 def _fwd_rule(q, k, v, seed, scale, rate, block_q):
-    B, H, L, D = q.shape
-    bq = min(block_q, max(L, 128))
-    lp = -(-L // bq) * bq
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq, lqp, lkp, n_qt = _tiling(q.shape, k.shape, block_q)
     # fold the logit scale into q once here (cheap on (B,H,L,D)) so the
-    # kernel never spends a full f32 pass scaling the (bq, Lp) score tile
+    # kernel never spends a full f32 pass scaling the (bq, Lk) score tile
     q_pre = q * jnp.asarray(scale, q.dtype)
-    qp, kp, vp = _pad_l(q_pre, lp), _pad_l(k, lp), _pad_l(v, lp)
-    n_qt = lp // bq
+    qp, kp, vp = _pad_l(q_pre, lqp), _pad_l(k, lkp), _pad_l(v, lkp)
     out = pl.pallas_call(
-        functools.partial(_fwd_kernel, l_actual=L, rate=rate),
+        functools.partial(_fwd_kernel, l_actual=Lk, rate=rate),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, H, n_qt),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
             ],
             out_specs=pl.BlockSpec(
                 (1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, lqp, D), q.dtype),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(jnp.asarray(seed, jnp.int32).reshape((1,)), qp, kp, vp)
-    return out[:, :, :L], (q, k, v, jnp.asarray(seed, jnp.int32).reshape((1,)))
+    return out[:, :, :Lq], (q, k, v, jnp.asarray(seed, jnp.int32).reshape((1,)))
 
 
 def _bwd_rule(scale, rate, block_q, res, dout):
     q, k, v, seed = res
-    B, H, L, D = q.shape
-    bq = min(block_q, max(L, 128))
-    lp = -(-L // bq) * bq
+    B, H, Lq, D = q.shape
+    Lk = k.shape[2]
+    bq, lqp, lkp, n_qt = _tiling(q.shape, k.shape, block_q)
     q_pre = q * jnp.asarray(scale, q.dtype)
-    qp, kp, vp = _pad_l(q_pre, lp), _pad_l(k, lp), _pad_l(v, lp)
-    dop = _pad_l(dout, lp)
-    n_qt = lp // bq
+    qp, kp, vp = _pad_l(q_pre, lqp), _pad_l(k, lkp), _pad_l(v, lkp)
+    dop = _pad_l(dout, lqp)
     dq, dk, dv = pl.pallas_call(
-        functools.partial(_bwd_kernel, l_actual=L, rate=rate,
+        functools.partial(_bwd_kernel, l_actual=Lk, rate=rate,
                           n_qt=n_qt),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(B, H, n_qt),
             in_specs=[
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
             ],
             out_specs=[
                 pl.BlockSpec((1, 1, bq, D), lambda b, h, i, *_: (b, h, i, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
-                pl.BlockSpec((1, 1, lp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
+                pl.BlockSpec((1, 1, lkp, D), lambda b, h, i, *_: (b, h, 0, 0)),
             ],
             scratch_shapes=[
-                pltpu.VMEM((lp, D), jnp.float32),
-                pltpu.VMEM((lp, D), jnp.float32),
+                pltpu.VMEM((lkp, D), jnp.float32),
+                pltpu.VMEM((lkp, D), jnp.float32),
             ],
         ),
         out_shape=[
-            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
-            jax.ShapeDtypeStruct((B, H, lp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lqp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lkp, D), q.dtype),
+            jax.ShapeDtypeStruct((B, H, lkp, D), q.dtype),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary", "arbitrary"),
         ),
     )(seed, qp, kp, vp, dop)
     # the kernel differentiates w.r.t. q_pre = q * scale; chain the scale back
-    dq = dq[:, :, :L] * jnp.asarray(scale, dq.dtype)
-    return (dq, dk[:, :, :L], dv[:, :, :L],
+    dq = dq[:, :, :Lq] * jnp.asarray(scale, dq.dtype)
+    return (dq, dk[:, :, :Lk], dv[:, :, :Lk],
             np.zeros((1,), jax.dtypes.float0))
 
 

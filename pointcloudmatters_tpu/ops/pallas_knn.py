@@ -64,6 +64,7 @@ def _knn_kernel(q_ref, p_ref, mask_ref, idx_ref, d2_ref, *, k, tn):
         cross = jax.lax.dot_general(
             q, p, (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,  # see pallas_knn3 note
         )                                            # (TM, TN)
         d2 = jnp.maximum(q2 + p2 - 2.0 * cross, 0.0)
         d2 = jnp.where(m[None, :] > 0, d2, _BIG)

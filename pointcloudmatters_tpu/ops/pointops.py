@@ -87,8 +87,14 @@ def _sqdist(a: jax.Array, b: jax.Array) -> jax.Array:
     directly. Clamped at zero against cancellation."""
     a2 = jnp.sum(a * a, axis=-1)[..., :, None]
     b2 = jnp.sum(b * b, axis=-1)[..., None, :]
+    # precision=HIGHEST: the default TPU f32 matmul runs as bf16 passes and
+    # the expansion cancels catastrophically — measured ~5e-4 absolute d2
+    # noise on unit-box clouds, which re-ranks ~90% of kNN neighbors vs f64
+    # truth (scripts/knn truth check, round 3). Contraction depth is 3, so
+    # full-precision passes cost nothing.
     ab = jnp.einsum("...mc,...nc->...mn", a, b,
-                    preferred_element_type=jnp.float32).astype(a.dtype)
+                    preferred_element_type=jnp.float32,
+                    precision=jax.lax.Precision.HIGHEST).astype(a.dtype)
     return jnp.maximum(a2 + b2 - 2.0 * ab, 0.0)
 
 
@@ -128,7 +134,7 @@ def _farthest_point_sampling_padded_xla(
         p = jnp.take_along_axis(xyz, last[:, None, None], axis=1)[:, 0]  # (B,3)
         # |x - p|^2 without materializing a lane-3 intermediate (see _sqdist)
         d = x2 + jnp.sum(p * p, axis=-1)[:, None] - 2.0 * jnp.einsum(
-            "bnc,bc->bn", xyz, p
+            "bnc,bc->bn", xyz, p, precision=jax.lax.Precision.HIGHEST
         )
         dist = jnp.where(valid, jnp.minimum(dist, d), -1.0)
         nxt = jnp.argmax(dist, axis=-1).astype(jnp.int32)
@@ -267,18 +273,25 @@ def knn_query_padded(
     chunk: int = 2048,
 ) -> tuple[jax.Array, jax.Array]:
     """Exact kNN over padded batches; see `_knn_query_padded_xla` for
-    semantics. On TPU dispatches to the chunk-skipping Pallas kernel
-    (`ops/pallas_knn2.py`): queries are Morton-permuted on device (cheap —
-    an argsort over M keys) so spatially-near queries share tiles, results
-    are un-permuted back, and the reference cloud is expected Morton-sorted
-    by the collate (`data/collate.py pad_point_clouds(spatial_sort=True)`) —
-    the kernel is exact on ANY order, sortedness only enables its early-out.
-    ``PCM_KNN_IMPL=baseline`` falls back to the dense-scan kernel
-    (`ops/pallas_knn.py`)."""
+    semantics. On TPU dispatches to the whole-row hierarchical-reduction
+    kernel (`ops/pallas_knn3.py`, 18.5 ms vs 44-47 ms for the chunked/
+    chunk-skipping kernels at the flagship shape on v5e) when the distance
+    row fits VMEM; otherwise to the chunked dense-scan kernel
+    (`ops/pallas_knn.py`). ``PCM_KNN_IMPL`` selects explicitly:
+    ``v3`` (default) | ``chunkskip`` (`ops/pallas_knn2.py`, Morton-permuted
+    queries + early-out) | ``baseline`` (chunked dense scan)."""
     if _use_pallas() and nsample <= 128:
         import os
 
-        if os.environ.get("PCM_KNN_IMPL", "chunkskip") == "chunkskip":
+        impl = os.environ.get("PCM_KNN_IMPL", "v3")
+        N_pad = -(-xyz.shape[1] // 128) * 128
+        if impl == "v3" and N_pad * 128 * 4 <= 8 * 2 ** 20:
+            from pointcloudmatters_tpu.ops.pallas_knn3 import (
+                knn_query_padded_pallas3,
+            )
+
+            return knn_query_padded_pallas3(new_xyz, xyz, mask, nsample)
+        if impl == "chunkskip":
             from pointcloudmatters_tpu.ops.pallas_knn2 import (
                 knn_query_padded_pallas2,
             )

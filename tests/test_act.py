@@ -318,9 +318,9 @@ class TestTransformer:
         np.testing.assert_allclose(np.asarray(out1), np.asarray(out2), atol=1e-4)
 
     def test_intermediate_stack_shape(self):
-        tr = Transformer(d_model=32, nhead=4, num_encoder_layers=1,
-                         num_decoder_layers=3, dim_feedforward=16,
-                         return_intermediate_dec=True)
+        """decoder_live_layers=1 (default) computes only hs[0] at apply time
+        but keeps the full parameter tree; =None computes the whole stack,
+        and the two agree on hs[0]."""
         rng = np.random.RandomState(0)
         src = jnp.asarray(rng.randn(2, 5, 32), jnp.float32)
         query = jnp.asarray(rng.randn(4, 32), jnp.float32)
@@ -328,12 +328,29 @@ class TestTransformer:
         proprio = jnp.asarray(rng.randn(2, 1, 32), jnp.float32)
         add_pos = jnp.asarray(rng.randn(2, 32), jnp.float32)
         pos = jnp.asarray(rng.randn(1, 5, 32), jnp.float32)
-        variables = tr.init(jax.random.PRNGKey(0), src, query, pos=pos,
-                            latent_input=latent, proprio_input=proprio,
-                            additional_pos_embed=add_pos)
-        hs = tr.apply(variables, src, query, pos=pos, latent_input=latent,
-                      proprio_input=proprio, additional_pos_embed=add_pos)
-        assert hs.shape == (3, 2, 4, 32)
+        kw = dict(d_model=32, nhead=4, num_encoder_layers=1,
+                  num_decoder_layers=3, dim_feedforward=16,
+                  return_intermediate_dec=True)
+        tr_live = Transformer(**kw)  # decoder_live_layers defaults to 1
+        tr_full = Transformer(**kw, decoder_live_layers=None)
+        variables = tr_live.init(jax.random.PRNGKey(0), src, query, pos=pos,
+                                 latent_input=latent, proprio_input=proprio,
+                                 additional_pos_embed=add_pos)
+        # init created the full tree: all 3 decoder layers have params
+        assert {f"layers_{i}" for i in range(3)} <= set(
+            variables["params"]["decoder"].keys()
+        )
+        hs_live = tr_live.apply(variables, src, query, pos=pos,
+                                latent_input=latent, proprio_input=proprio,
+                                additional_pos_embed=add_pos)
+        hs_full = tr_full.apply(variables, src, query, pos=pos,
+                                latent_input=latent, proprio_input=proprio,
+                                additional_pos_embed=add_pos)
+        assert hs_live.shape == (1, 2, 4, 32)
+        assert hs_full.shape == (3, 2, 4, 32)
+        np.testing.assert_allclose(np.asarray(hs_live[0]),
+                                   np.asarray(hs_full[0]), rtol=1e-5,
+                                   atol=1e-5)
 
 
 class TestPositionalEncoding:

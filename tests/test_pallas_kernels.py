@@ -185,6 +185,121 @@ class TestOneshotAttention:
             np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-3
         )
 
+    def test_rectangular_cross_attention(self):
+        """Lq != Lk (the decoder cross-attention shape): fwd + grads vs
+        dense, with both sides padded to different tile sizes."""
+        from pointcloudmatters_tpu.ops.oneshot_attention import oneshot_attention
+
+        rng = np.random.RandomState(4)
+        B, H, Lq, Lk, Dh = 3, 8, 100, 1003, 64
+        q = jnp.asarray(rng.randn(B, H, Lq, Dh).astype(np.float32), jnp.bfloat16)
+        k = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32), jnp.bfloat16)
+        v = jnp.asarray(rng.randn(B, H, Lk, Dh).astype(np.float32), jnp.bfloat16)
+        seed = jnp.zeros((1,), jnp.int32)
+
+        got = jax.jit(
+            lambda q, k, v: oneshot_attention(q, k, v, seed, 64 ** -0.5, 0.0)
+        )(q, k, v)
+        ref = jax.jit(self._dense)(q, k, v)
+        np.testing.assert_allclose(
+            np.asarray(got, np.float32), np.asarray(ref, np.float32), atol=8e-3
+        )
+
+        def loss_oneshot(q, k, v):
+            o = oneshot_attention(q, k, v, seed, 64 ** -0.5, 0.0)
+            return jnp.sum(o.astype(jnp.float32) ** 2)
+
+        def loss_dense(q, k, v):
+            return jnp.sum(self._dense(q, k, v).astype(jnp.float32) ** 2)
+
+        g1 = jax.jit(jax.grad(loss_oneshot, argnums=(0, 1, 2)))(q, k, v)
+        g2 = jax.jit(jax.grad(loss_dense, argnums=(0, 1, 2)))(q, k, v)
+        for a, b, name in zip(g1, g2, "qkv"):
+            a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+            scale = max(1.0, np.abs(b).max())
+            np.testing.assert_allclose(
+                a / scale, b / scale, atol=2e-2,
+                err_msg=f"d{name} mismatch (rectangular)",
+            )
+
+
+@on_tpu
+class TestHierarchicalKNN:
+    """Whole-row hierarchical-reduction kNN (ops/pallas_knn3.py) — the
+    default TPU impl; exact distances, ties toward the smaller index."""
+
+    def _cloud(self, B=4, N=2048, M=256, seed=0):
+        rng = np.random.RandomState(seed)
+        coord = jnp.asarray(rng.rand(B, N, 3), jnp.float32)
+        counts = np.array([N, N - 300, N // 2, N - 1])[:B]
+        mask = jnp.asarray(np.arange(N)[None] < counts[:, None])
+        q = jnp.asarray(rng.rand(B, M, 3), jnp.float32)
+        return q, coord, mask
+
+    def test_matches_xla(self):
+        from pointcloudmatters_tpu.ops.pallas_knn3 import knn_query_padded_pallas3
+        from pointcloudmatters_tpu.ops.pointops import _knn_query_padded_xla
+
+        q, coord, mask = self._cloud()
+        ref_i, ref_d = _knn_query_padded_xla(q, coord, mask, 16)
+        got_i, got_d = knn_query_padded_pallas3(q, coord, mask, 16)
+        np.testing.assert_allclose(
+            np.asarray(ref_d), np.asarray(got_d), atol=1e-4
+        )
+        agree = (np.asarray(ref_i) == np.asarray(got_i)).mean()
+        assert agree > 0.99, agree  # near-ties at f32 rounding may reorder
+
+    def test_matches_float64_truth(self):
+        """On-TPU neighbor sets must match f64 ground truth (guards the
+        matmul-precision regression: default-precision f32 dots on TPU run
+        as bf16 passes, whose ~5e-4 d2 noise re-ranked ~90% of neighbors on
+        unit-box clouds before round 3's Precision.HIGHEST fix)."""
+        from pointcloudmatters_tpu.ops.pallas_knn3 import knn_query_padded_pallas3
+
+        rng = np.random.RandomState(7)
+        B, N, M, K = 2, 2048, 256, 16
+        coord_np = rng.rand(B, N, 3).astype(np.float32)
+        qidx = rng.randint(0, N, size=(B, M))
+        q_np = np.take_along_axis(coord_np, qidx[..., None], axis=1)
+        got = np.asarray(knn_query_padded_pallas3(
+            jnp.asarray(q_np), jnp.asarray(coord_np),
+            jnp.ones((B, N), bool), K,
+        )[0])
+        agree = 0.0
+        for b in range(B):
+            d2 = ((q_np[b][:, None].astype(np.float64)
+                   - coord_np[b][None].astype(np.float64)) ** 2).sum(-1)
+            truth = np.argsort(d2, axis=1, kind="stable")[:, :K]
+            agree += (got[b] == truth).mean() / B
+        assert agree > 0.995, agree
+
+    def test_duplicate_points_tie_to_smaller_index(self):
+        from pointcloudmatters_tpu.ops.pallas_knn3 import knn_query_padded_pallas3
+
+        rng = np.random.RandomState(2)
+        coord_np = rng.rand(1, 256, 3).astype(np.float32)
+        coord_np[0, 40] = coord_np[0, 7]  # exact duplicate
+        coord_np[0, 99] = coord_np[0, 7]
+        coord = jnp.asarray(coord_np)
+        mask = jnp.ones((1, 256), bool)
+        q = jnp.asarray(coord_np[:, 7:8])
+        idx, d2 = knn_query_padded_pallas3(q, coord, mask, 4)
+        # three zero-distance candidates extracted ascending by index
+        assert idx[0, 0, :3].tolist() == [7, 40, 99]
+        np.testing.assert_allclose(np.asarray(d2[0, 0, :3]), 0.0, atol=0)
+
+    def test_short_segments_pad_with_minus_one(self):
+        from pointcloudmatters_tpu.ops.pallas_knn3 import knn_query_padded_pallas3
+
+        rng = np.random.RandomState(1)
+        coord = jnp.asarray(rng.rand(2, 512, 3), jnp.float32)
+        mask = jnp.asarray(np.arange(512)[None] < np.array([[5], [512]]))
+        q = jnp.asarray(rng.rand(2, 128, 3), jnp.float32)
+        idx, d2 = knn_query_padded_pallas3(q, coord, mask, 16)
+        assert bool(jnp.all(idx[0, :, 5:] == -1))
+        assert bool(jnp.all(d2[0, :, 5:] >= 1e9))
+        assert bool(jnp.all(idx[1] >= 0))
+
 
 @on_tpu
 class TestChunkSkipKNN:

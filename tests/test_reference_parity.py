@@ -276,9 +276,13 @@ def _build_ref_transformer():
 def _build_our_transformer():
     from pointcloudmatters_tpu.models.components.act.transformer import Transformer
 
+    # decoder_live_layers=None: parity-check the FULL intermediate stack
+    # against the reference (the production default computes only the hs[0]
+    # the ACT caller consumes; test_act.py asserts the two agree on hs[0])
     return Transformer(d_model=D_MODEL, nhead=NHEAD, num_encoder_layers=2,
                        num_decoder_layers=3, dim_feedforward=FFN, dropout=0.0,
-                       normalize_before=False, return_intermediate_dec=True)
+                       normalize_before=False, return_intermediate_dec=True,
+                       decoder_live_layers=None)
 
 
 class TestTransformerParity:
