@@ -108,17 +108,31 @@ def one_cycle_lr(
     if anneal_strategy != "cos":
         raise NotImplementedError(f"anneal_strategy={anneal_strategy!r}")
     peak = float(max_lr if max_lr is not None else base_lr)
-    # optax floors phase boundaries to ints; pct_start*total_steps < 1 would
-    # create a zero-length warmup interval and NaN lrs (hit by debug configs
-    # with 1-2 total steps). Clamp so every phase spans >= 1 step.
-    min_total = int(math.ceil(1.0 / max(pct_start, 1e-6))) + 1
-    return optax.cosine_onecycle_schedule(
-        transition_steps=max(int(total_steps), min_total),
-        peak_value=peak,
-        pct_start=pct_start,
-        div_factor=div_factor,
-        final_div_factor=final_div_factor,
-    )
+    # exact torch step indexing (torch OneCycleLR._get_lr): warmup anneals
+    # over pct_start*T - 1 intervals (peak reached AT step pct*T-1), the
+    # down phase over the remaining intervals with the floor reached AT the
+    # final step T-1. optax.cosine_onecycle_schedule shifts both boundaries
+    # by one step — enough to visibly split loss trajectories from the torch
+    # reference within 3 optimizer steps (test_reference_parity
+    # TestTrainingTrajectoryParity). Degenerate totals (1-2 step debug runs)
+    # are handled by clamping each phase to span >= 1 interval.
+    initial = peak / div_factor
+    floor = initial / final_div_factor
+    e1 = max(pct_start * float(total_steps) - 1.0, 1.0)
+    e2 = max(float(total_steps) - 1.0, e1 + 1.0)
+
+    def _anneal_cos(start: float, end: float, pct: jnp.ndarray) -> jnp.ndarray:
+        return end + (start - end) / 2.0 * (jnp.cos(jnp.pi * pct) + 1.0)
+
+    def schedule(count) -> jnp.ndarray:
+        s = jnp.asarray(count, jnp.float32)
+        lr_up = _anneal_cos(initial, peak, jnp.clip(s / e1, 0.0, 1.0))
+        lr_down = _anneal_cos(
+            peak, floor, jnp.clip((s - e1) / (e2 - e1), 0.0, 1.0)
+        )
+        return jnp.where(s <= e1, lr_up, lr_down)
+
+    return schedule
 
 
 def build_scheduler(cfg: dict, total_steps: int, base_lr: float) -> Schedule:
