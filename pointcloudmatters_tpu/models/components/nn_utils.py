@@ -268,9 +268,9 @@ class BitsDropout(nn.Module):
     the (B, 2051, 512) residual streams of the ACT encoder that RNG compute
     (not the HBM traffic) dominates the op — measured ~1.6 ms per dropout on
     v5e, ~4.7 ms per encoder layer. Drawing uint8 bits quarters the threefry
-    work; the drop rate is quantized to ``ceil(rate*256)/256`` (0.1 ->
-    0.1016), the same documented trade as ``EfficientMHA`` in
-    `act/transformer.py`. Expectation is exactly preserved (inverse scaling
+    work; the drop rate is quantized to the nearest 1/256 (0.1 -> 25.6/256
+    rounds to 26/256 = 0.1016), the same documented trade as ``EfficientMHA``
+    in `act/transformer.py`. Expectation is exactly preserved (inverse scaling
     uses the quantized keep probability); only the train-time noise
     granularity changes vs the reference's torch dropout.
     """
@@ -286,7 +286,10 @@ class BitsDropout(nn.Module):
         )
         if self.rate == 0.0 or deterministic:
             return x
-        threshold = int(np.ceil(self.rate * 256))
+        # round-to-nearest halves the quantization bias vs ceil (0.1 ->
+        # 25.6/256 = 0.1000 at the nearest grid point); floor at 1 so tiny
+        # nonzero rates still drop
+        threshold = max(1, int(round(self.rate * 256)))
         if threshold >= 256:
             return jnp.zeros_like(x)
         keep_prob = (256 - threshold) / 256.0

@@ -284,6 +284,11 @@ def knn_query_padded(
         import os
 
         impl = os.environ.get("PCM_KNN_IMPL", "v3")
+        if impl not in ("v3", "chunkskip", "baseline"):
+            raise ValueError(
+                "PCM_KNN_IMPL must be one of 'v3', 'chunkskip', 'baseline'; "
+                f"got {impl!r}"
+            )
         N_pad = -(-xyz.shape[1] // 128) * 128
         if impl == "v3" and N_pad * 128 * 4 <= 8 * 2 ** 20:
             from pointcloudmatters_tpu.ops.pallas_knn3 import (
@@ -291,7 +296,10 @@ def knn_query_padded(
             )
 
             return knn_query_padded_pallas3(new_xyz, xyz, mask, nsample)
-        if impl == "chunkskip":
+        if impl in ("v3", "chunkskip"):
+            # v3 rows that exceed the VMEM guard fall back to the
+            # chunk-skipping kernel (44-47 ms class at flagship shapes),
+            # never the slowest dense-scan baseline
             from pointcloudmatters_tpu.ops.pallas_knn2 import (
                 knn_query_padded_pallas2,
             )

@@ -399,6 +399,25 @@ class Trainer:
             f"precision={self.precision}"
         )
 
+        # Lightning-parity sanity check: run N validation batches before the
+        # first epoch so a broken val path fails fast instead of after epoch
+        # 1 (-1 = full validation). Metrics are discarded, as in Lightning.
+        if self.num_sanity_val_steps and self.limit_val_batches not in (0, 0.0):
+            n = int(self.num_sanity_val_steps)
+            saved = self.limit_val_batches
+            if n != -1:
+                self.limit_val_batches = (
+                    min(n, int(saved)) if isinstance(saved, int) else n
+                )
+            log.info(
+                "sanity-checking the validation loop "
+                f"({'all' if n == -1 else self.limit_val_batches} batches)"
+            )
+            try:
+                self._run_validation(model, datamodule)
+            finally:
+                self.limit_val_batches = saved
+
         start_epoch = self.current_epoch
         for epoch in range(start_epoch, self.max_epochs):
             self.current_epoch = epoch

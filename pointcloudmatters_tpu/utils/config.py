@@ -357,6 +357,55 @@ def _parse_cli_value(text: str) -> Any:
         return text
 
 
+def _split_sweep_values(text: str) -> list[str]:
+    """Split a CLI override value on top-level commas (Hydra's choice-sweep
+    grammar). Commas inside ``[] {} ()`` or quotes do NOT split — ``k=[1,2]``
+    is one list value, ``k=1,2`` is a two-way sweep."""
+    parts: list[str] = []
+    depth = 0
+    quote: str | None = None
+    cur: list[str] = []
+    for ch in text:
+        if quote is not None:
+            cur.append(ch)
+            if ch == quote:
+                quote = None
+            continue
+        if ch in "\"'":
+            quote = ch
+            cur.append(ch)
+        elif ch in "[{(":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")}]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    parts.append("".join(cur))
+    return parts
+
+
+def expand_multirun(overrides: list[str]) -> list[list[str]]:
+    """Expand Hydra ``-m`` choice sweeps into the cartesian product of
+    override lists (one list per job), preserving override order
+    (reference workflow: `/root/reference/README.md:360-366`)."""
+    import itertools
+
+    axes: list[list[str]] = []
+    for ov in overrides:
+        if ov.startswith("~") or "=" not in ov:
+            axes.append([ov])
+            continue
+        key, value = ov.split("=", 1)
+        values = _split_sweep_values(value)
+        axes.append([f"{key}={v}" for v in values])
+    return [list(combo) for combo in itertools.product(*axes)]
+
+
 def compose(
     config_dir: str,
     config_name: str,

@@ -102,7 +102,25 @@ def one_cycle_lr(
 ) -> Schedule:
     """torch ``OneCycleLR`` semantics: initial = max/div, final =
     initial/final_div, cosine ramp up for ``pct_start`` then anneal."""
-    del cycle_momentum, base_momentum, max_momentum  # not modeled
+    if cycle_momentum and not getattr(one_cycle_lr, "_warned_momentum", False):
+        # torch's default additionally cycles the optimizer momentum (Adam
+        # beta1 0.95 -> 0.85 and back) alongside the LR. This build keeps
+        # beta1 fixed — implementing the cycle would rebuild every optimizer
+        # through optax.inject_hyperparams and change the opt_state tree
+        # (breaking checkpoint compatibility) for a knob whose effect on the
+        # reference tasks is second-order. Warn (once per process) instead of
+        # silently ignoring it; pass cycle_momentum=False to silence.
+        import logging
+
+        one_cycle_lr._warned_momentum = True
+        logging.getLogger(__name__).warning(
+            "OneCycleLR: cycle_momentum=True requested (torch default) but "
+            "momentum/beta1 cycling (%.2f<->%.2f) is not modeled — beta1 "
+            "stays at the optimizer's configured value. Training dynamics "
+            "will differ slightly from a torch reference run.",
+            max_momentum, base_momentum,
+        )
+    del cycle_momentum, base_momentum, max_momentum  # not modeled (warned)
     if three_phase:
         raise NotImplementedError("three_phase OneCycleLR")
     if anneal_strategy != "cos":

@@ -83,19 +83,21 @@ def train(cfg) -> tuple[dict, dict]:
     return metric_dict, object_dict
 
 
-def main(argv: Optional[list[str]] = None) -> Optional[float]:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    cfg = C.compose(os.path.join(REPO_ROOT, "configs"), "train", argv)
-
+def _resolve_dir_template(cfg, template: str) -> str:
     # hydra would create the templated run dir; we do the same. The template
     # is resolved against a throwaway copy (paths.output_dir itself refers to
     # the runtime value being computed here).
-    C.set_runtime(cwd=os.getcwd(), output_dir="<pending>")
-    hydra_cfg = cfg.get("hydra") or {}
-    run_dir_tpl = C.select(hydra_cfg, "run.dir") or "outputs"
     probe = C.DotDict(C.to_container(cfg))
-    run_dir = C._Resolver(probe).resolve_str(str(run_dir_tpl))
-    output_dir = os.path.abspath(str(run_dir))
+    return os.path.abspath(str(C._Resolver(probe).resolve_str(str(template))))
+
+
+def _run_one(argv: list[str], output_dir: Optional[str] = None) -> Optional[float]:
+    cfg = C.compose(os.path.join(REPO_ROOT, "configs"), "train", argv)
+    C.set_runtime(cwd=os.getcwd(), output_dir="<pending>")
+    if output_dir is None:
+        hydra_cfg = cfg.get("hydra") or {}
+        run_dir_tpl = C.select(hydra_cfg, "run.dir") or "outputs"
+        output_dir = _resolve_dir_template(cfg, run_dir_tpl)
     os.makedirs(output_dir, exist_ok=True)
     C.set_runtime(output_dir=output_dir, cwd=os.getcwd())
 
@@ -103,6 +105,32 @@ def main(argv: Optional[list[str]] = None) -> Optional[float]:
     extras(cfg)
     metric_dict, _ = train(cfg)
     return get_metric_value(metric_dict, cfg.get("optimized_metric"))
+
+
+def main(argv: Optional[list[str]] = None) -> Optional[float]:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    multirun = False
+    for flag in ("-m", "--multirun"):
+        while flag in argv:
+            argv.remove(flag)
+            multirun = True
+    if not multirun:
+        return _run_one(argv)
+
+    # hydra -m: expand comma choice-sweeps into the job product and run the
+    # jobs sequentially under hydra.sweep.dir/<job_idx>
+    # (reference `/root/reference/README.md:360-366,477-494`)
+    jobs = C.expand_multirun(argv)
+    cfg0 = C.compose(os.path.join(REPO_ROOT, "configs"), "train", jobs[0])
+    C.set_runtime(cwd=os.getcwd(), output_dir="<pending>")
+    sweep_tpl = C.select(cfg0.get("hydra") or {}, "sweep.dir") or "multirun"
+    sweep_dir = _resolve_dir_template(cfg0, sweep_tpl)
+    log.info(f"multirun: {len(jobs)} job(s) under {sweep_dir}")
+    result: Optional[float] = None
+    for i, job in enumerate(jobs):
+        log.info(f"multirun job {i}/{len(jobs)}: {' '.join(job)}")
+        result = _run_one(job, output_dir=os.path.join(sweep_dir, str(i)))
+    return result
 
 
 if __name__ == "__main__":

@@ -1,0 +1,108 @@
+"""CLI-level end-to-end smoke tests: subprocess `python src/train.py ...`.
+
+Exercises the composer, entry glue, trainer, and checkpoint write exactly as
+a user invokes them (VERDICT r3 item 10), plus the hydra `-m` multirun
+grammar (reference workflow `/root/reference/README.md:360-366`).
+"""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+CAM_SIDE = 16
+
+
+def _base_overrides(tmp_path, data_file):
+    return [
+        "exp_maniskill2_act_policy=base",
+        "exp_maniskill2_act_policy/maniskill2_pcd_task@maniskill2_pcd_task=PickCube-v0",
+        "exp_maniskill2_act_policy/maniskill2_model@maniskill2_model=scratch_pointnet_pcd",
+        f"data.train.dataset_file={data_file}",
+        f"data.train.point_num_per_cam={CAM_SIDE * CAM_SIDE}",
+        "data.train.chunk_size=5",
+        f"data.train.cache_dir={tmp_path}/cache",
+        "data.batch_size_train=2",
+        "data.pad_multiple=64",
+        "model.policy.hidden_dim=32",
+        "model.policy.pcd_npoints=16",
+        "model.policy.pcd_nsample=4",
+        "model.policy.transformer.num_encoder_layers=1",
+        "model.policy.transformer.num_decoder_layers=1",
+        "model.policy.transformer.nhead=4",
+        "logger=csv",
+        f"paths.log_dir={tmp_path}/logs",
+    ]
+
+
+def _run_cli(args, timeout=300):
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PCM_DISABLE_PALLAS="1")
+    env.pop("PCM_TEST_TPU", None)
+    return subprocess.run(
+        [sys.executable, os.path.join(REPO, "src", "train.py"), *args],
+        capture_output=True, text=True, timeout=timeout, cwd=REPO, env=env,
+    )
+
+
+@pytest.fixture(scope="module")
+def data_file(tmp_path_factory):
+    from tests.synth import make_synthetic_maniskill2
+
+    tmp = tmp_path_factory.mktemp("cli_data")
+    return make_synthetic_maniskill2(
+        str(tmp / "traj.h5"), n_episodes=3, episode_len=6, cam_side=CAM_SIDE
+    )
+
+
+def test_train_cli_fdr(tmp_path, data_file):
+    """`python src/train.py debug=fdr ...` completes and writes its run dir."""
+    run_dir = tmp_path / "run"
+    proc = _run_cli(
+        _base_overrides(tmp_path, data_file)
+        + ["debug=fdr", f"hydra.run.dir={run_dir}"]
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
+    assert run_dir.is_dir()
+    # the csv logger wrote metrics under the run dir
+    logged = [
+        os.path.join(dp, f)
+        for dp, _, fs in os.walk(run_dir) for f in fs if f.endswith(".csv")
+    ]
+    assert logged, f"no csv metrics under {run_dir}"
+
+
+def test_train_cli_multirun(tmp_path, data_file):
+    """`python src/train.py -m seed=1,2` produces two sequential jobs."""
+    sweep_dir = tmp_path / "sweep"
+    proc = _run_cli(
+        ["-m", "seed=1,2"]
+        + _base_overrides(tmp_path, data_file)
+        + ["debug=fdr", f"hydra.sweep.dir={sweep_dir}"],
+        timeout=600,
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
+    assert (sweep_dir / "0").is_dir() and (sweep_dir / "1").is_dir()
+
+
+def test_expand_multirun_products():
+    from pointcloudmatters_tpu.utils.config import expand_multirun
+
+    jobs = expand_multirun(["seed=1,2", "model.policy.hidden_dim=32"])
+    assert jobs == [
+        ["seed=1", "model.policy.hidden_dim=32"],
+        ["seed=2", "model.policy.hidden_dim=32"],
+    ]
+    # cartesian product over two axes
+    jobs = expand_multirun(["a=1,2", "b=x,y"])
+    assert len(jobs) == 4
+    assert ["a=2", "b=x"] in jobs
+    # brackets and quotes protect commas
+    jobs = expand_multirun(["k=[1,2]", "s='a,b'"])
+    assert jobs == [["k=[1,2]", "s='a,b'"]]
+    # group sweeps expand too
+    jobs = expand_multirun(["trainer=cpu,default"])
+    assert jobs == [["trainer=cpu"], ["trainer=default"]]
