@@ -43,6 +43,20 @@ MULTIVIEW_ANGLES = [5, 10, 30]
 _registered = False
 
 
+def iter_env_ids() -> list[str]:
+    """The full custom env-ID surface this module registers, computed without
+    importing ManiSkill2 — the sweep scripts are tested against this list
+    (tests/test_env_registry.py), so script<->registry drift fails CI."""
+    ids = ["PegInsertionSide-3steps-v0"]
+    ids += [f"{task}-MultiView" for task in MULTIVIEW_TASKS]
+    for task, levels in LIGHT_LEVELS.items():
+        ids += [f"{task}-light-{level}" for level in levels]
+    ids += [f"StackCube-background-{level}" for level in BACKGROUND_LEVELS]
+    ids += [f"StackCube-foreground-{level}" for level in FOREGROUND_LEVELS]
+    ids += [f"Hang-depth-noise-std{std}" for std in DEPTH_NOISE_STDS]
+    return ids
+
+
 def _camera_cfg(CameraConfig, look_at, name, eye, target=(-0.1, 0, 0.1)):
     pose = look_at(list(eye), list(target))
     return CameraConfig(name, pose.p, pose.q, 128, 128, np.pi / 2, 0.01, 10)

@@ -239,18 +239,60 @@ def run_maniskill2_rollouts(
     )
 
 
-def make_maniskill2_env(
+def maniskill2_env_kwargs(
     env_id: str,
     obs_mode: str = "pointcloud",
     control_mode: str = "pd_ee_delta_pose",
     shader_dir: str = "ibl",
-    record_dir: Optional[str] = None,
+    rt_samples_per_pixel: Optional[int] = None,
+    rt_use_denoiser: Optional[bool] = None,
+    use_stereo_depth: bool = False,
     camera_cfgs: Optional[dict] = None,
     **env_kwargs,
+) -> tuple[str, dict]:
+    """(env_id, gym.make kwargs) for a ManiSkill2 env, matching the
+    reference's call exactly (`maniskill2_act_bc_module.py:94-108`):
+
+    - ``shader_dir="rt"`` enables the ray tracer; ``rt_samples_per_pixel`` /
+      ``rt_use_denoiser`` ride in ``render_config`` (the visual-changes
+      noise sweep, `scripts/run_maniskill2_visual_changes.sh`)
+    - ``use_stereo_depth`` rides in ``camera_cfgs``; ManiSkill2's camera
+      parsing swaps every CameraConfig for a StereoDepthCameraConfig, and
+      its env base instantiates ``StereoDepthCamera`` for those — the same
+      swap the reference's vendored `sapien_env.py:407-408` performs
+    - the PegInsertionSide eval remap quirk (`maniskill2_act_bc_module.py:
+      95-99`) is preserved.
+
+    Pure function (no simulator import) so it is testable in this
+    environment; ``make_maniskill2_env`` consumes it.
+    """
+    if env_id == "PegInsertionSide-v0":
+        env_id = "PegInsertionSide-3steps-v0"
+    kwargs = dict(
+        obs_mode=obs_mode, control_mode=control_mode, shader_dir=shader_dir,
+        **env_kwargs,
+    )
+    render_config = {}
+    if rt_samples_per_pixel is not None:
+        render_config["rt_samples_per_pixel"] = int(rt_samples_per_pixel)
+    if rt_use_denoiser is not None:
+        render_config["rt_use_denoiser"] = bool(rt_use_denoiser)
+    if render_config:
+        kwargs["render_config"] = render_config
+    cams = dict(camera_cfgs or {})
+    if use_stereo_depth:
+        cams["use_stereo_depth"] = True
+    kwargs["camera_cfgs"] = cams
+    return env_id, kwargs
+
+
+def make_maniskill2_env(
+    env_id: str,
+    record_dir: Optional[str] = None,
+    **kwargs,
 ):
     """Default env factory: real ManiSkill2 via gym registration (SAPIEN on
-    the host). The PegInsertionSide eval remap quirk is preserved
-    (`maniskill2_act_bc_module.py:95-99`)."""
+    the host). See ``maniskill2_env_kwargs`` for the supported knobs."""
     import gymnasium as gym
     import mani_skill2.envs  # noqa: F401  (registers envs)
 
@@ -259,12 +301,8 @@ def make_maniskill2_env(
     except ImportError:
         pass
 
-    if env_id == "PegInsertionSide-v0":
-        env_id = "PegInsertionSide-3steps-v0"
-    env = gym.make(
-        env_id, obs_mode=obs_mode, control_mode=control_mode,
-        shader_dir=shader_dir, camera_cfgs=camera_cfgs or {}, **env_kwargs,
-    )
+    env_id, make_kwargs = maniskill2_env_kwargs(env_id, **kwargs)
+    env = gym.make(env_id, **make_kwargs)
     if record_dir is not None:
         from mani_skill2.utils.wrappers import RecordEpisode
 

@@ -103,12 +103,17 @@ class ManiSkill2ACTBCModule(BCModule):
     def _make_env(self, dataset, record_dir=None):
         if self.env_factory is not None:
             return self.env_factory(self)
-        control_mode = None
         env_kwargs = getattr(dataset, "env_kwargs", {}) or {}
         control_mode = env_kwargs.get("control_mode", "pd_ee_delta_pose")
+        # rt_* only matter under the ray tracer; forwarding them
+        # unconditionally mirrors the reference (`maniskill2_act_bc_module
+        # .py:103-108`), which always passes its render_config
         return make_maniskill2_env(
-            self.env_id, obs_mode=self.obs_mode, control_mode=control_mode,
-            shader_dir=self.shader_dir, record_dir=record_dir,
+            self.env_id, record_dir=record_dir, obs_mode=self.obs_mode,
+            control_mode=control_mode, shader_dir=self.shader_dir,
+            rt_samples_per_pixel=self.rt_samples_per_pixel,
+            rt_use_denoiser=self.rt_use_denoiser,
+            use_stereo_depth=self.use_stereo_depth,
         )
 
     def run_validation(self, trainer, datamodule) -> dict:

@@ -1,0 +1,515 @@
+"""Port a reference PyTorch-Lightning checkpoint to an Orbax checkpoint.
+
+The migration story for anyone holding reference-trained weights
+(`src/train.py:93` / `test_rlbench_act.py:114` semantics): take the
+Lightning ``.ckpt`` the reference's ``ModelCheckpoint`` wrote, map its
+``state_dict`` onto this framework's flax parameter/batch-stats trees, and
+save in the exact layout ``Trainer.save_checkpoint`` produces — so
+``ckpt_path=<ported>`` works in ``src/train.py`` / ``src/validate.py``
+unchanged.
+
+Usage:
+    python scripts/port_reference_ckpt.py <lightning.ckpt> <out_dir> \
+        [--policy auto|act|dp] [--nhead 8]
+
+Supported policies (auto-detected from state-dict keys):
+- ACT family — ``ACT``/``ACTPCD``/``ACTRLBench``/``ACTRLBenchPCD``
+  (reference `act/act.py:40,312,601,707`): CVAE projections/heads/embeddings,
+  both transformer stacks, the PCD token-builder linear+BN, PointNet
+  (spconv k=1) or torchvision-ResNet backbones.
+- Diffusion policy — ``DiffusionUnetImagePolicy``
+  (`diffusion_unet_image_policy.py:23`): ConditionalUnet1D, the PCD obs
+  encoder, and the LinearNormalizer (persisted as checkpoint "extras", the
+  DictOfTensorMixin counterpart).
+
+Weight-layout conventions (proven by tests/test_reference_parity.py and
+tests/test_ckpt_port.py):
+- ``nn.Linear (out,in)`` -> Dense ``kernel (in,out)``
+- ``nn.MultiheadAttention in_proj_*`` -> query/key/value DenseGeneral
+  ``(d, H, dh)`` splits; ``out_proj`` -> ``(H, dh, d)``
+- ``nn.BatchNorm1d`` -> params {scale,bias} + batch_stats {mean,var}
+- spconv ``SubMConv3d`` k=1 ``(out,1,1,1,in)`` -> Dense ``kernel (in,out)``
+- ``nn.Conv1d`` k=1 -> Dense; general Conv1d ``(out,in,k)`` -> ``(k,in,out)``
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+import numpy as np
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+
+# ---------------------------------------------------------------------------
+# state-dict navigation
+# ---------------------------------------------------------------------------
+
+class SD:
+    """Flat torch state dict with prefix slicing."""
+
+    def __init__(self, d: dict):
+        self.d = {k: np.asarray(v) for k, v in d.items()}
+
+    def sub(self, prefix: str) -> "SD":
+        p = prefix + "."
+        return SD({k[len(p):]: v for k, v in self.d.items() if k.startswith(p)})
+
+    def __contains__(self, key: str) -> bool:
+        return key in self.d or any(k.startswith(key + ".") for k in self.d)
+
+    def __getitem__(self, key: str) -> np.ndarray:
+        return self.d[key]
+
+    def get(self, key: str, default=None):
+        return self.d.get(key, default)
+
+    def keys(self):
+        return self.d.keys()
+
+    def layer_indices(self, prefix: str) -> list[int]:
+        idx = set()
+        p = prefix + "."
+        for k in self.d:
+            if k.startswith(p):
+                head = k[len(p):].split(".", 1)[0]
+                if head.isdigit():
+                    idx.add(int(head))
+        return sorted(idx)
+
+
+# ---------------------------------------------------------------------------
+# primitive converters (state-dict versions of tests/_torch_port.py)
+# ---------------------------------------------------------------------------
+
+def linear(sd: SD, p: str) -> dict:
+    out = {"kernel": sd[f"{p}.weight"].T}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def layernorm(sd: SD, p: str) -> dict:
+    return {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]}
+
+
+def batchnorm(sd: SD, p: str) -> tuple[dict, dict]:
+    return (
+        {"scale": sd[f"{p}.weight"], "bias": sd[f"{p}.bias"]},
+        {"mean": sd[f"{p}.running_mean"], "var": sd[f"{p}.running_var"]},
+    )
+
+
+def mha(sd: SD, p: str, nhead: int) -> dict:
+    w = sd[f"{p}.in_proj_weight"]  # (3D, D)
+    b = sd[f"{p}.in_proj_bias"]
+    d = w.shape[1]
+    dh = d // nhead
+
+    def proj(i: int) -> dict:
+        return {
+            "kernel": w[i * d:(i + 1) * d].T.reshape(d, nhead, dh),
+            "bias": b[i * d:(i + 1) * d].reshape(nhead, dh),
+        }
+
+    return {
+        "query": proj(0), "key": proj(1), "value": proj(2),
+        "out": {
+            "kernel": sd[f"{p}.out_proj.weight"].T.reshape(nhead, dh, d),
+            "bias": sd[f"{p}.out_proj.bias"],
+        },
+    }
+
+
+def conv1x1_2d(sd: SD, p: str) -> dict:
+    """torch Conv2d k=1 (out,in,1,1) -> Dense kernel (in,out)."""
+    out = {"kernel": sd[f"{p}.weight"][:, :, 0, 0].T}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv1d(sd: SD, p: str) -> dict:
+    """torch Conv1d (out,in,k) -> flax (k,in,out)."""
+    out = {"kernel": sd[f"{p}.weight"].transpose(2, 1, 0)}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv1d_as_dense(sd: SD, p: str) -> dict:
+    """torch Conv1d k=1 (out,in,1) -> Dense kernel (in,out)."""
+    out = {"kernel": sd[f"{p}.weight"][:, :, 0].T}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def conv_transpose1d(sd: SD, p: str) -> dict:
+    """torch ConvTranspose1d (in,out,k) -> flax (k,in,out), k flipped."""
+    out = {"kernel": np.ascontiguousarray(
+        sd[f"{p}.weight"].transpose(2, 0, 1)[::-1]
+    )}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+def spconv_k1(sd: SD, p: str) -> dict:
+    """spconv SubMConv3d k=1 -> Dense. spconv2 stores (out,1,1,1,in);
+    older spconv1 stored (1,1,1,in,out) — disambiguated by squeezing."""
+    w = sd[f"{p}.weight"]
+    w = np.squeeze(w)
+    if w.ndim != 2:
+        raise ValueError(f"{p}.weight does not look like a k=1 conv: {w.shape}")
+    # spconv2 (out, in): transpose; spconv1 (in, out): keep. The two are
+    # indistinguishable for square layers, so trust the spconv2 layout (the
+    # reference pins spconv 2.x).
+    out = {"kernel": w.T}
+    if f"{p}.bias" in sd.keys():
+        out["bias"] = sd[f"{p}.bias"]
+    return out
+
+
+# ---------------------------------------------------------------------------
+# transformer stacks (reference `act/transformer.py`)
+# ---------------------------------------------------------------------------
+
+def encoder_layer(sd: SD, p: str, nhead: int) -> dict:
+    return {
+        "self_attn": mha(sd, f"{p}.self_attn", nhead),
+        "linear1": linear(sd, f"{p}.linear1"),
+        "linear2": linear(sd, f"{p}.linear2"),
+        "norm1": layernorm(sd, f"{p}.norm1"),
+        "norm2": layernorm(sd, f"{p}.norm2"),
+    }
+
+
+def decoder_layer(sd: SD, p: str, nhead: int) -> dict:
+    return {
+        "self_attn": mha(sd, f"{p}.self_attn", nhead),
+        "multihead_attn": mha(sd, f"{p}.multihead_attn", nhead),
+        "linear1": linear(sd, f"{p}.linear1"),
+        "linear2": linear(sd, f"{p}.linear2"),
+        "norm1": layernorm(sd, f"{p}.norm1"),
+        "norm2": layernorm(sd, f"{p}.norm2"),
+        "norm3": layernorm(sd, f"{p}.norm3"),
+    }
+
+
+def transformer_encoder(sd: SD, p: str, nhead: int) -> dict:
+    tree = {
+        f"layers_{i}": encoder_layer(sd, f"{p}.layers.{i}", nhead)
+        for i in sd.layer_indices(f"{p}.layers")
+    }
+    if f"{p}.norm.weight" in sd.keys():
+        tree["norm"] = layernorm(sd, f"{p}.norm")
+    return tree
+
+
+def transformer(sd: SD, p: str, nhead: int) -> dict:
+    dec = {
+        f"layers_{i}": decoder_layer(sd, f"{p}.decoder.layers.{i}", nhead)
+        for i in sd.layer_indices(f"{p}.decoder.layers")
+    }
+    dec["norm"] = layernorm(sd, f"{p}.decoder.norm")
+    return {
+        "encoder": transformer_encoder(sd, f"{p}.encoder", nhead),
+        "decoder": dec,
+    }
+
+
+# ---------------------------------------------------------------------------
+# backbones
+# ---------------------------------------------------------------------------
+
+def pointnet_backbone(sd: SD) -> tuple[dict, dict]:
+    """Reference spconv PointNet (`pcd_encoder/pointnet.py:16-62`):
+    conv{i}.0 = SubMConv3d, conv{i}.1 = BatchNorm1d."""
+    params, stats = {}, {}
+    for i in range(1, 6):
+        params[f"conv{i}"] = spconv_k1(sd, f"conv{i}.0")
+        bn_p, bn_s = batchnorm(sd, f"conv{i}.1")
+        params[f"bn{i}"] = bn_p
+        stats[f"bn{i}"] = bn_s
+    if "final.weight" in sd.keys():
+        params["final"] = spconv_k1(sd, "final")
+    return params, stats
+
+
+def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
+    """torchvision ResNet keys -> our ResNetTorchVision trees, via the
+    existing loader (`img_encoder/resnet.py`). Needs a template init to know
+    the tree structure, so this imports jax/flax lazily."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudmatters_tpu.models.components.img_encoder.resnet import (
+        ResNetTorchVision,
+        load_torch_state_dict,
+    )
+
+    depth = 50 if any("layer1.0.conv3" in k for k in sd.keys()) else 18
+    model = ResNetTorchVision(name=f"resnet{depth}", in_channels=channels)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 64, 64, channels), jnp.float32), train=False,
+    )
+    params, stats = load_torch_state_dict(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, variables["batch_stats"]),
+        {k: v for k, v in sd.d.items()},
+        channels=channels,
+    )
+    return params, stats
+
+
+# ---------------------------------------------------------------------------
+# policies
+# ---------------------------------------------------------------------------
+
+def port_act_policy(sd: SD, nhead: int) -> tuple[dict, dict]:
+    """ACT family (`act/act.py:40,312,601,707`) -> (params, batch_stats)."""
+    P: dict = {}
+    S: dict = {}
+    for name in ("cls_embed", "query_embed", "additional_pos_embed"):
+        if f"{name}.weight" in sd.keys():
+            P[name] = sd[f"{name}.weight"]
+    # the reference names the state-only positional table `pos`
+    # (`act/act.py:244` reads self.pos.weight); ours is state_pos_embed
+    if "pos.weight" in sd.keys():
+        P["state_pos_embed"] = sd["pos.weight"]
+    for name in ("encoder_action_proj", "encoder_joint_proj", "latent_proj",
+                 "latent_out_proj", "input_proj_robot_state", "action_head",
+                 "is_pad_head", "proj_goal_cond_emb", "input_proj_env_state"):
+        if f"{name}.weight" in sd.keys():
+            P[name] = linear(sd, name)
+    P["transformer"] = transformer(sd, "transformer", nhead)
+    if "encoder.layers" in sd:
+        P["encoder"] = transformer_encoder(sd, "encoder", nhead)
+
+    # image path: input_proj is a 1x1 Conv2d (`act/act.py:96`)
+    if "input_proj.weight" in sd.keys():
+        w = sd["input_proj.weight"]
+        P["input_proj"] = (
+            conv1x1_2d(sd, "input_proj") if w.ndim == 4 else linear(sd, "input_proj")
+        )
+
+    # PCD token builder (`act/act.py:368-371`): linear -> pcd_linear, bn -> pcd_bn
+    if "linear.weight" in sd.keys():
+        P["pcd_linear"] = linear(sd, "linear")
+    if "bn.weight" in sd.keys():
+        bn_p, bn_s = batchnorm(sd, "bn")
+        P["pcd_bn"] = bn_p
+        S["pcd_bn"] = bn_s
+
+    # backbone
+    if "backbone" in sd:
+        bsd = sd.sub("backbone")
+        if "conv1.0.weight" in bsd.keys():  # spconv PointNet
+            P["backbone"], S["backbone"] = pointnet_backbone(bsd)
+        elif any(k.startswith("0.body.") for k in bsd.keys()):
+            # DETR Joiner: backbone.0.body.<torchvision resnet>
+            rsd = bsd.sub("0").sub("body")
+            ch = rsd["conv1.weight"].shape[1]
+            P["backbone"], S["backbone"] = resnet_backbone(rsd, ch)
+        else:
+            raise ValueError(
+                "unrecognized ACT backbone keys: "
+                + ", ".join(sorted(bsd.keys())[:5])
+            )
+    return P, S
+
+
+def port_unet(sd: SD, p: str) -> dict:
+    """ConditionalUnet1D (`diffusion/conditional_unet1d.py:78-297`) ->
+    our param tree (naming contract in our conditional_unet1d.py)."""
+
+    def block(bp: str) -> dict:  # Conv1dBlock = Sequential(conv, GN, mish)
+        return {"conv": conv1d(sd, f"{bp}.block.0"),
+                "norm": layernorm(sd, f"{bp}.block.1")}
+
+    def resblock(rp: str) -> dict:
+        tree = {
+            "block0": block(f"{rp}.blocks.0"),
+            "block1": block(f"{rp}.blocks.1"),
+            "cond_encoder": linear(sd, f"{rp}.cond_encoder.1"),
+        }
+        if f"{rp}.residual_conv.weight" in sd.keys():
+            tree["residual_conv"] = conv1d(sd, f"{rp}.residual_conv")
+        return tree
+
+    params = {
+        "time_mlp1": linear(sd, f"{p}.diffusion_step_encoder.1"),
+        "time_mlp2": linear(sd, f"{p}.diffusion_step_encoder.3"),
+        "final_block": block(f"{p}.final_conv.0"),
+        "final_conv": conv1d(sd, f"{p}.final_conv.1"),
+    }
+    if f"{p}.local_cond_encoder.0.blocks.0.block.0.weight" in sd.keys():
+        params["local_down"] = resblock(f"{p}.local_cond_encoder.0")
+        params["local_up"] = resblock(f"{p}.local_cond_encoder.1")
+    for i in sd.layer_indices(f"{p}.down_modules"):
+        dp = f"{p}.down_modules.{i}"
+        params[f"down{i}_res0"] = resblock(f"{dp}.0")
+        params[f"down{i}_res1"] = resblock(f"{dp}.1")
+        if f"{dp}.2.conv.weight" in sd.keys():
+            params[f"down{i}_ds"] = {"conv": conv1d(sd, f"{dp}.2.conv")}
+    params["mid_res0"] = resblock(f"{p}.mid_modules.0")
+    params["mid_res1"] = resblock(f"{p}.mid_modules.1")
+    for i in sd.layer_indices(f"{p}.up_modules"):
+        up = f"{p}.up_modules.{i}"
+        params[f"up{i}_res0"] = resblock(f"{up}.0")
+        params[f"up{i}_res1"] = resblock(f"{up}.1")
+        if f"{up}.2.conv.weight" in sd.keys():
+            params[f"up{i}_us"] = {"conv": conv_transpose1d(sd, f"{up}.2.conv")}
+    return params
+
+
+def port_pcd_obs_encoder(sd: SD, p: str) -> tuple[dict, dict]:
+    """PCDObsEncoder (`vision/pcd_obs_encoder.py:14-120`)."""
+    P: dict = {"linear": linear(sd, f"{p}.linear")}
+    S: dict = {}
+    bn_p, bn_s = batchnorm(sd, f"{p}.bn")
+    P["bn"] = bn_p
+    S["bn"] = bn_s
+    bsd = sd.sub(f"{p}.pcd_model")
+    if "conv1.0.weight" in bsd.keys():
+        P["pcd_model"], S["pcd_model"] = pointnet_backbone(bsd)
+    # projector Sequential: [conv,bn,relu]*L, maxpool, conv, bn
+    conv_idx = sorted(
+        int(k.split(".")[0]) for k in sd.sub(f"{p}.projector").keys()
+        if k.endswith(".weight") and k.split(".")[0].isdigit()
+        and sd[f"{p}.projector.{k.split('.')[0]}.weight"].ndim == 3
+    )
+    bn_idx = sorted(
+        int(k.split(".")[0]) for k in sd.sub(f"{p}.projector").keys()
+        if k.endswith(".running_mean")
+    )
+    for j, (ci, bi) in enumerate(zip(conv_idx[:-1], bn_idx[:-1])):
+        P[f"projector_conv{j}"] = conv1d_as_dense(sd, f"{p}.projector.{ci}")
+        bn_p, bn_s = batchnorm(sd, f"{p}.projector.{bi}")
+        P[f"projector_bn{j}"] = bn_p
+        S[f"projector_bn{j}"] = bn_s
+    P["projector_out"] = conv1d_as_dense(sd, f"{p}.projector.{conv_idx[-1]}")
+    bn_p, bn_s = batchnorm(sd, f"{p}.projector.{bn_idx[-1]}")
+    P["projector_out_bn"] = bn_p
+    S["projector_out_bn"] = bn_s
+    return P, S
+
+
+def port_normalizer(sd: SD, p: str) -> dict:
+    """Reference LinearNormalizer params_dict -> our extras["normalizer"]
+    (`utils/diffusion_policy/normalizer.py:14`, DictOfTensorMixin keys
+    ``params_dict.<field>.{offset,scale,input_stats.*}``)."""
+    out: dict = {}
+    pd = sd.sub(f"{p}.params_dict")
+    fields = {k.split(".", 1)[0] for k in pd.keys()}
+    for f in sorted(fields):
+        fsd = pd.sub(f)
+        entry = {"scale": fsd["scale"], "offset": fsd["offset"]}
+        stats = {
+            k.split(".", 1)[1]: v
+            for k, v in fsd.d.items() if k.startswith("input_stats.")
+        }
+        if stats:
+            entry["input_stats"] = stats
+        out[f] = entry
+    return out
+
+
+def port_dp_policy(sd: SD) -> tuple[dict, dict, dict]:
+    """DiffusionUnetImagePolicy -> (params, batch_stats, extras)."""
+    P: dict = {"model": port_unet(sd, "model")}
+    S: dict = {}
+    if "obs_encoder.linear.weight" in sd.keys():
+        P["obs_encoder"], S["obs_encoder"] = port_pcd_obs_encoder(
+            sd, "obs_encoder"
+        )
+    extras = {}
+    if f"normalizer.params_dict" in sd:
+        extras["normalizer"] = port_normalizer(sd, "normalizer")
+    return P, S, extras
+
+
+# ---------------------------------------------------------------------------
+# entry
+# ---------------------------------------------------------------------------
+
+def port_state_dict(
+    state_dict: dict, policy: str = "auto", nhead: int = 8
+) -> dict:
+    """Lightning state dict -> Orbax checkpoint item (Trainer layout)."""
+    sd = SD({
+        (k[len("policy."):] if k.startswith("policy.") else k): v
+        for k, v in state_dict.items()
+        if not k.endswith("num_batches_tracked")
+        and not k.startswith(("train_metrics", "val_metrics",
+                              "best_val_metrics"))
+    })
+    if policy == "auto":
+        policy = "dp" if "model.diffusion_step_encoder.1.weight" in sd.keys() \
+            else "act"
+    extras: dict = {}
+    if policy == "act":
+        params, stats = port_act_policy(sd, nhead)
+    elif policy == "dp":
+        params, stats, extras = port_dp_policy(sd)
+    else:
+        raise ValueError(f"unknown policy {policy!r} (use auto|act|dp)")
+    # the policy lives under BCModule.policy -> params root IS the policy tree
+    item = {
+        "params": params,
+        "batch_stats": stats,
+        "step": 0,
+        "epoch": 0,
+    }
+    if extras:
+        item["extras"] = extras
+    return item
+
+
+def main(argv=None) -> str:
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("ckpt", help="Lightning .ckpt path")
+    ap.add_argument("out", help="output Orbax checkpoint directory")
+    ap.add_argument("--policy", default="auto", choices=["auto", "act", "dp"])
+    ap.add_argument("--nhead", type=int, default=8,
+                    help="attention heads (for in_proj splitting)")
+    args = ap.parse_args(argv)
+
+    import torch
+
+    raw = torch.load(args.ckpt, map_location="cpu", weights_only=False)
+    state_dict = raw.get("state_dict", raw)
+    state_dict = {
+        k: v.detach().cpu().numpy() if hasattr(v, "detach") else np.asarray(v)
+        for k, v in state_dict.items()
+    }
+    item = port_state_dict(state_dict, policy=args.policy, nhead=args.nhead)
+
+    import orbax.checkpoint as ocp
+
+    out = os.path.abspath(args.out)
+    ocp.PyTreeCheckpointer().save(out, item, force=True)
+    n = sum(
+        int(np.prod(np.shape(x)))
+        for x in _tree_leaves(item["params"])
+    )
+    print(f"ported {n:,} parameters -> {out}")
+    return out
+
+
+def _tree_leaves(tree):
+    if isinstance(tree, dict):
+        for v in tree.values():
+            yield from _tree_leaves(v)
+    else:
+        yield tree
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,374 @@
+"""Round-trip tests for scripts/port_reference_ckpt.py.
+
+Save a fake Lightning checkpoint built from reference(-shaped) torch
+modules, run the porter CLI, load the Orbax output, and assert our policy's
+forward matches the torch forward — the product-grade version of the
+mapping machinery proven in tests/test_reference_parity.py.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import os
+import sys
+
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+sys.path.insert(0, os.path.dirname(__file__))
+import _reference_stubs as RS  # noqa: E402
+
+if not RS.install():  # pragma: no cover
+    pytest.skip("reference tree unavailable", allow_module_level=True)
+
+# import reference modules at module scope while the reference root is first
+# on sys.path — pytest re-prepends the repo rootdir between collection and
+# execution, and our own `src/` entry-point package would shadow it
+import src.models.components.act.act  # noqa: F401, E402
+import src.models.components.act.transformer  # noqa: F401, E402
+import src.models.components.loss.misc  # noqa: F401, E402
+import src.models.components.diffusion_policy.diffusion.conditional_unet1d  # noqa: F401, E402
+
+import jax.numpy as jnp  # noqa: E402
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _porter():
+    spec = importlib.util.spec_from_file_location(
+        "port_reference_ckpt",
+        os.path.join(REPO, "scripts", "port_reference_ckpt.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _save_lightning_ckpt(path, module_sd: dict):
+    torch.save(
+        {"state_dict": {f"policy.{k}": v for k, v in module_sd.items()},
+         "epoch": 3, "global_step": 123},
+        path,
+    )
+
+
+def _restore(path):
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(os.path.abspath(path))
+
+
+# ---------------------------------------------------------------------------
+# spconv-shaped PointNet stand-in (spconv itself is CUDA-only)
+# ---------------------------------------------------------------------------
+
+class _SpconvLikeConv(torch.nn.Module):
+    """Weight stored in spconv2's (out, 1, 1, 1, in) layout; forward is the
+    plain per-point linear map a k=1 submanifold conv computes."""
+
+    def __init__(self, cin, cout):
+        super().__init__()
+        self.weight = torch.nn.Parameter(torch.randn(cout, 1, 1, 1, cin) * 0.2)
+
+    def forward(self, x):
+        return x @ self.weight.reshape(self.weight.shape[0], -1).t()
+
+
+class _TorchPointNet(torch.nn.Module):
+    """State-dict mirror of the reference spconv PointNet
+    (`pcd_encoder/pointnet.py:16-62`): conv{i}.0 = k=1 conv, conv{i}.1 = BN."""
+
+    num_channels = 512
+
+    def __init__(self, in_ch=6):
+        super().__init__()
+        widths = (64, 64, 64, 128, 512)
+        prev = in_ch
+        for i, w in enumerate(widths):
+            seq = torch.nn.Sequential(
+                _SpconvLikeConv(prev, w),
+                torch.nn.BatchNorm1d(w, eps=1e-3, momentum=0.01),
+                torch.nn.ReLU(),
+            )
+            setattr(self, f"conv{i + 1}", seq)
+            prev = w
+
+    def forward(self, pcd_dict):
+        x = pcd_dict["feat"]
+        for i in range(5):
+            x = getattr(self, f"conv{i + 1}")(x)
+        return x
+
+
+def _randomize_bn_stats(model, rng):
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm1d):
+            m.running_mean.copy_(torch.from_numpy(
+                rng.randn(*m.running_mean.shape).astype(np.float32) * 0.1))
+            m.running_var.copy_(torch.from_numpy(
+                rng.rand(*m.running_var.shape).astype(np.float32) + 0.5))
+
+
+# ---------------------------------------------------------------------------
+# ACTPCD + PointNet
+# ---------------------------------------------------------------------------
+
+def test_actpcd_pointnet_roundtrip(tmp_path):
+    import src.models.components.act.act as ref_act
+    from src.models.components.act.transformer import (
+        Transformer as RefT,
+        TransformerEncoder as RefE,
+    )
+    from src.models.components.loss.misc import KLDivergence as RefKL
+
+    from tests.test_reference_parity import (
+        _packed_batch,
+        _padded_pcds,
+        n2t,
+    )
+    from pointcloudmatters_tpu.models.components.act.act import ACTPCD
+    from pointcloudmatters_tpu.models.components.act.transformer import (
+        Transformer,
+        TransformerEncoder,
+    )
+    from pointcloudmatters_tpu.models.components.pcd_encoder.pointnet import (
+        PointNet,
+    )
+
+    RS.install_pointops_adapters()
+    ref_act.reparametrize = lambda mu, logvar: mu
+
+    HID, NHEAD, FFN, CHUNK = 96, 4, 32, 10  # hidden % 6 == 0 (3D sine emb)
+    ADIM, QDIM, GDIM, NPTS, NSMP = 7, 9, 3, 32, 4
+    torch.manual_seed(0)
+    ref = ref_act.ACTPCD(
+        backbone=_TorchPointNet(6),
+        transformer=RefT(d_model=HID, nhead=NHEAD, num_encoder_layers=2,
+                         num_decoder_layers=2, dim_feedforward=FFN,
+                         dropout=0.0, normalize_before=False,
+                         return_intermediate_dec=True),
+        encoder=RefE(d_model=HID, nhead=NHEAD, dim_feedforward=FFN,
+                     dropout=0.0, num_layers=2),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=0,
+        action_dim=ADIM, qpos_dim=QDIM, latent_dim=16,
+        action_loss=torch.nn.L1Loss(reduction="none"), klloss=RefKL(),
+        kl_weight=10.0, goal_cond_dim=GDIM,
+        pcd_nsample=NSMP, pcd_npoints=NPTS,
+    )
+    with torch.no_grad():
+        _randomize_bn_stats(ref, np.random.RandomState(1))
+    ref.eval()
+
+    ckpt = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(ckpt, ref.state_dict())
+    out = tmp_path / "orbax"
+    porter = _porter()
+    porter.main([str(ckpt), str(out), "--nhead", str(NHEAD)])
+    item = _restore(out)
+    assert item["epoch"] == 0 and item["step"] == 0
+
+    ours = ACTPCD(
+        backbone=PointNet(in_channels=6),
+        transformer=Transformer(d_model=HID, nhead=NHEAD,
+                                num_encoder_layers=2, num_decoder_layers=2,
+                                dim_feedforward=FFN, dropout=0.0,
+                                normalize_before=False,
+                                return_intermediate_dec=True),
+        encoder=TransformerEncoder(d_model=HID, nhead=NHEAD,
+                                   dim_feedforward=FFN, dropout=0.0,
+                                   num_layers=2),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=0,
+        action_dim=ADIM, qpos_dim=QDIM, latent_dim=16,
+        action_loss="l1", kl_weight=10.0, goal_cond_dim=GDIM,
+        pcd_nsample=NSMP, pcd_npoints=NPTS,
+    )
+
+    counts, coords, feats, offset, qpos, actions, is_pad, goal = _packed_batch()
+    ref_dict = {
+        "qpos": n2t(qpos), "actions": n2t(actions),
+        "is_pad": torch.from_numpy(is_pad), "goal_cond": n2t(goal),
+        "pcds": {
+            "coord": n2t(np.concatenate(coords)),
+            "feat": n2t(np.concatenate(feats)),
+            "offset": torch.from_numpy(offset),
+        },
+    }
+    with torch.no_grad():
+        r = ref(ref_dict)
+
+    o = ours.apply(
+        {"params": item["params"], "batch_stats": item["batch_stats"]},
+        {
+            "qpos": jnp.asarray(qpos), "actions": jnp.asarray(actions),
+            "is_pad": jnp.asarray(is_pad), "goal_cond": jnp.asarray(goal),
+            "pcds": _padded_pcds(counts, coords, feats),
+        },
+        train=False,
+    )
+    np.testing.assert_allclose(
+        np.asarray(o["a_hat"]), r["a_hat"].numpy(), atol=2e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(o["is_pad_hat"]), r["is_pad_hat"].numpy(), atol=2e-3
+    )
+
+
+# ---------------------------------------------------------------------------
+# ACT (state-only path)
+# ---------------------------------------------------------------------------
+
+def test_act_state_only_roundtrip(tmp_path):
+    """State-only ACT: the reference's own state path is dead code (its 2-D
+    src cannot pass the transformer's 4-D unpack, `act/transformer.py:73`),
+    so instead of a forward comparison this asserts the ported tree is
+    structurally identical to our init tree with exactly-mapped leaves."""
+    import jax
+    import src.models.components.act.act as ref_act
+    from src.models.components.act.transformer import (
+        Transformer as RefT,
+        TransformerEncoder as RefE,
+    )
+    from src.models.components.loss.misc import KLDivergence as RefKL
+
+    from pointcloudmatters_tpu.models.components.act.act import ACT
+    from pointcloudmatters_tpu.models.components.act.transformer import (
+        Transformer,
+        TransformerEncoder,
+    )
+
+    HID, NHEAD, FFN, CHUNK, ADIM, QDIM, EDIM = 64, 4, 32, 8, 7, 9, 5
+    torch.manual_seed(1)
+    ref = ref_act.ACT(
+        backbone=None,
+        transformer=RefT(d_model=HID, nhead=NHEAD, num_encoder_layers=2,
+                         num_decoder_layers=2, dim_feedforward=FFN,
+                         dropout=0.0, normalize_before=False,
+                         return_intermediate_dec=True),
+        encoder=RefE(d_model=HID, nhead=NHEAD, dim_feedforward=FFN,
+                     dropout=0.0, num_layers=2),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=0,
+        action_dim=ADIM, qpos_dim=QDIM, env_state_dim=EDIM, latent_dim=16,
+        action_loss=torch.nn.L1Loss(reduction="none"), klloss=RefKL(),
+        kl_weight=10.0,
+    )
+
+    ckpt = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(ckpt, ref.state_dict())
+    out = tmp_path / "orbax"
+    _porter().main([str(ckpt), str(out), "--nhead", str(NHEAD)])
+    item = _restore(out)
+
+    ours = ACT(
+        backbone=None,
+        transformer=Transformer(d_model=HID, nhead=NHEAD,
+                                num_encoder_layers=2, num_decoder_layers=2,
+                                dim_feedforward=FFN, dropout=0.0,
+                                normalize_before=False,
+                                return_intermediate_dec=True),
+        encoder=TransformerEncoder(d_model=HID, nhead=NHEAD,
+                                   dim_feedforward=FFN, dropout=0.0,
+                                   num_layers=2),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=0,
+        action_dim=ADIM, qpos_dim=QDIM, env_state_dim=EDIM, latent_dim=16,
+        action_loss="l1", kl_weight=10.0,
+    )
+    rng = np.random.RandomState(2)
+    B = 3
+    batch = {
+        "qpos": jnp.asarray(rng.randn(B, QDIM).astype(np.float32)),
+        "env_state": jnp.asarray(rng.randn(B, EDIM).astype(np.float32)),
+        "actions": jnp.asarray(rng.randn(B, CHUNK, ADIM).astype(np.float32)),
+        "is_pad": jnp.zeros((B, CHUNK), bool),
+    }
+    import jax as _jax
+
+    template = ours.init(
+        {"params": _jax.random.PRNGKey(0), "vae": _jax.random.PRNGKey(1)},
+        batch, train=False,
+    )["params"]
+
+    def paths(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = set()
+            for k, v in tree.items():
+                out |= paths(v, f"{prefix}/{k}")
+            return out
+        return {f"{prefix}:{tuple(np.shape(tree))}"}
+
+    assert paths(item["params"]) == paths(template)
+    # spot-check exactly-mapped leaves
+    np.testing.assert_array_equal(
+        item["params"]["input_proj_env_state"]["kernel"],
+        ref.input_proj_env_state.weight.detach().numpy().T,
+    )
+    np.testing.assert_array_equal(
+        item["params"]["state_pos_embed"], ref.pos.weight.detach().numpy()
+    )
+    # the forward actually runs with the ported weights (ours is not dead code)
+    o = ours.apply({"params": item["params"]}, batch, train=False,
+                   rngs={"vae": _jax.random.PRNGKey(2)})
+    assert np.isfinite(np.asarray(o["a_hat"])).all()
+
+
+# ---------------------------------------------------------------------------
+# Diffusion policy (UNet + normalizer)
+# ---------------------------------------------------------------------------
+
+def test_dp_unet_and_normalizer_roundtrip(tmp_path):
+    from src.models.components.diffusion_policy.diffusion.conditional_unet1d import (  # noqa: E501
+        ConditionalUnet1D as RefU,
+    )
+    from pointcloudmatters_tpu.models.components.diffusion_policy.diffusion.conditional_unet1d import (  # noqa: E501
+        ConditionalUnet1D as OurU,
+    )
+
+    torch.manual_seed(0)
+    in_dim, g_dim, T, B = 7, 20, 16, 3
+    ref = RefU(input_dim=in_dim, global_cond_dim=g_dim,
+               diffusion_step_embed_dim=32, down_dims=[32, 64],
+               kernel_size=3, n_groups=8, cond_predict_scale=True)
+    ref.eval()
+
+    # wrap as a DP policy state dict: model.* + normalizer params_dict
+    sd = {f"model.{k}": v for k, v in ref.state_dict().items()}
+    rng = np.random.RandomState(3)
+    for field in ("action", "qpos"):
+        sd[f"normalizer.params_dict.{field}.scale"] = torch.from_numpy(
+            rng.rand(in_dim).astype(np.float32) + 0.5)
+        sd[f"normalizer.params_dict.{field}.offset"] = torch.from_numpy(
+            rng.randn(in_dim).astype(np.float32))
+        for stat in ("min", "max", "mean", "std"):
+            sd[f"normalizer.params_dict.{field}.input_stats.{stat}"] = (
+                torch.from_numpy(rng.randn(in_dim).astype(np.float32)))
+
+    ckpt = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(ckpt, sd)
+    out = tmp_path / "orbax"
+    _porter().main([str(ckpt), str(out)])
+    item = _restore(out)
+
+    # normalizer extras round-trip into our LinearNormalizer
+    from pointcloudmatters_tpu.utils.normalizer import LinearNormalizer
+
+    norm = LinearNormalizer.from_state_dict(item["extras"]["normalizer"])
+    x = rng.randn(4, in_dim).astype(np.float32)
+    want = x * np.asarray(sd["normalizer.params_dict.action.scale"]) + \
+        np.asarray(sd["normalizer.params_dict.action.offset"])
+    np.testing.assert_allclose(
+        np.asarray(norm.params["action"].normalize(x)), want, rtol=1e-6
+    )
+
+    ours = OurU(input_dim=in_dim, global_cond_dim=g_dim,
+                diffusion_step_embed_dim=32, down_dims=(32, 64),
+                kernel_size=3, n_groups=8, cond_predict_scale=True)
+    traj = rng.randn(B, T, in_dim).astype(np.float32)
+    t = np.array([3, 77, 15], np.int64)
+    cond = rng.randn(B, g_dim).astype(np.float32)
+    with torch.no_grad():
+        r = ref(torch.from_numpy(traj), torch.from_numpy(t),
+                global_cond=torch.from_numpy(cond)).numpy()
+    o = ours.apply({"params": item["params"]["model"]}, jnp.asarray(traj),
+                   jnp.asarray(t), global_cond=jnp.asarray(cond))
+    np.testing.assert_allclose(np.asarray(o), r, atol=1e-4)
