@@ -58,6 +58,56 @@ class CSVLogger(BaseLogger):
             json.dump(params, f, indent=2, default=str)
 
 
+class OfflineBackendLogger(CSVLogger):
+    """Stand-in for a networked experiment-tracking backend (wandb, comet,
+    mlflow, neptune, aim) in the zero-egress TPU environment.
+
+    Accepts the real backend's full constructor schema (so reference configs
+    port verbatim), records it to ``backend_config.json`` next to the
+    metrics, and logs everything through the CSV path. Swapping in a real
+    adapter later only requires changing ``_target_`` — no config surgery.
+    """
+
+    backend = "offline"
+
+    def __init__(self, save_dir: Optional[str] = None, name: str = "",
+                 prefix: str = "", **backend_kwargs: Any):
+        if save_dir is None:
+            # mlflow-style configs carry tracking_uri instead of save_dir
+            save_dir = str(
+                backend_kwargs.get("tracking_uri")
+                or backend_kwargs.get("run_directory")
+                or "logs"
+            )
+        super().__init__(save_dir, name=name or self.backend, prefix=prefix)
+        self.backend_config = dict(backend_kwargs)
+        with open(os.path.join(self.save_dir, "backend_config.json"), "w") as fh:
+            json.dump(
+                {"backend": self.backend, **self.backend_config},
+                fh, indent=2, default=str,
+            )
+
+
+class WandbLogger(OfflineBackendLogger):
+    backend = "wandb"
+
+
+class CometLogger(OfflineBackendLogger):
+    backend = "comet"
+
+
+class MLFlowLogger(OfflineBackendLogger):
+    backend = "mlflow"
+
+
+class NeptuneLogger(OfflineBackendLogger):
+    backend = "neptune"
+
+
+class AimLogger(OfflineBackendLogger):
+    backend = "aim"
+
+
 class TensorBoardLogger(BaseLogger):
     """TB event files via torch's SummaryWriter when available
     (reference `configs/logger/tensorboard.yaml`); degrades to CSV."""
