@@ -62,7 +62,7 @@ def run_kernel_tests() -> str:
 
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_pallas_kernels.py",
-         "-q", "--no-header", "-x"],
+         "tests/test_flash_attention.py", "-q", "--no-header", "-x"],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         env={**os.environ, "PCM_TEST_TPU": "1"},
