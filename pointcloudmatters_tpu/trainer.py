@@ -118,6 +118,13 @@ class Trainer:
         self.accumulate_grad_batches = max(1, accumulate_grad_batches)
         self.deterministic = deterministic
         self.detect_anomaly = detect_anomaly
+        if detect_anomaly:
+            # the true analog of torch's autograd anomaly mode: XLA checks
+            # every primitive's output and raises at the FIRST nan/inf with
+            # the offending operation's traceback (instead of only the
+            # per-step finite-loss guard below). Debug-only: this forces
+            # de-optimized, synchronized execution.
+            jax.config.update("jax_debug_nans", True)
         self.limit_train_batches = 1 if fast_dev_run else limit_train_batches
         self.limit_val_batches = 1 if fast_dev_run else limit_val_batches
         self.log_every_n_steps = log_every_n_steps

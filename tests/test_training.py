@@ -539,3 +539,47 @@ def test_async_rollouts_overlap_sim_and_policy():
     # 4 workers: ideal speedup bounded by the serialized policy; require a
     # comfortably-sub-serial wall clock
     assert t_async < 0.6 * t_serial, (t_async, t_serial)
+
+
+class TestSanityValSteps:
+    def test_sanity_validation_runs_before_training(self, tmp_path):
+        """num_sanity_val_steps runs N val batches before epoch 0 (Lightning
+        semantics); metrics are discarded and limit_val_batches restored."""
+        from pointcloudmatters_tpu.utils import config as C
+        from pointcloudmatters_tpu.utils.utils import (
+            instantiate_callbacks,
+            instantiate_loggers,
+        )
+
+        data_file = _make_data(tmp_path)
+        cfg = _compose(
+            tmp_path, data_file,
+            extra=["trainer.num_sanity_val_steps=2",
+                   "trainer.limit_val_batches=5",
+                   "trainer.check_val_every_n_epoch=100"],
+        )
+        dm = C.instantiate(cfg.data)
+        model = C.instantiate(cfg.model)
+        trainer = C.instantiate(
+            cfg.trainer,
+            callbacks=instantiate_callbacks(cfg.get("callbacks")),
+            logger=instantiate_loggers(cfg.get("logger")),
+        )
+
+        calls = []
+        orig = model.run_validation
+
+        def spy(tr, datamodule):
+            calls.append((tr.global_step, tr.limit_val_batches))
+            return orig(tr, datamodule)
+
+        model.run_validation = spy
+        saved_limit = trainer.limit_val_batches
+        trainer.fit(model, datamodule=dm)
+        # exactly one sanity pass, before any optimizer step, with the
+        # sanity limit applied; the configured limit is restored afterwards
+        assert len(calls) == 1
+        step_at_call, limit_at_call = calls[0]
+        assert step_at_call == 0
+        assert limit_at_call == 2
+        assert trainer.limit_val_batches == saved_limit
