@@ -254,7 +254,9 @@ def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
     )
 
     depth = 50 if any("layer1.0.conv3" in k for k in sd.keys()) else 18
-    model = ResNetTorchVision(name=f"resnet{depth}", in_channels=channels)
+    model = ResNetTorchVision(
+        resnet_model=f"resnet{depth}", channels=channels, resize_to=64
+    )
     variables = model.init(
         jax.random.PRNGKey(0),
         jnp.zeros((1, 64, 64, channels), jnp.float32), train=False,

@@ -372,3 +372,149 @@ def test_dp_unet_and_normalizer_roundtrip(tmp_path):
     o = ours.apply({"params": item["params"]["model"]}, jnp.asarray(traj),
                    jnp.asarray(t), global_cond=jnp.asarray(cond))
     np.testing.assert_allclose(np.asarray(o), r, atol=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# ACT with a Joiner-ResNet image backbone (structural round-trip)
+# ---------------------------------------------------------------------------
+
+def _resnet18_state_dict(rng, in_ch=4, prefix=""):
+    """Synthesize torchvision-resnet18-shaped keys (no torchvision here)."""
+    sd = {}
+
+    def t(*shape):
+        # small magnitudes so the 8-conv random stack stays finite in f32
+        return torch.from_numpy(rng.randn(*shape).astype(np.float32) * 0.02)
+
+    def bn(p, w):
+        sd[f"{p}.weight"] = t(w)
+        sd[f"{p}.bias"] = t(w)
+        sd[f"{p}.running_mean"] = t(w)
+        sd[f"{p}.running_var"] = torch.from_numpy(
+            rng.rand(w).astype(np.float32) + 0.5)
+
+    sd[f"{prefix}conv1.weight"] = t(64, in_ch, 7, 7)
+    bn(f"{prefix}bn1", 64)
+    for s, width in {1: 64, 2: 128, 3: 256, 4: 512}.items():
+        for b in range(2):
+            p = f"{prefix}layer{s}.{b}"
+            in_w = width if not (b == 0 and s > 1) else width // 2
+            sd[f"{p}.conv1.weight"] = t(width, in_w, 3, 3)
+            sd[f"{p}.conv2.weight"] = t(width, width, 3, 3)
+            bn(f"{p}.bn1", width)
+            bn(f"{p}.bn2", width)
+            if b == 0 and s > 1:
+                sd[f"{p}.downsample.0.weight"] = t(width, width // 2, 1, 1)
+                bn(f"{p}.downsample.1", width)
+    return sd
+
+
+def test_act_resnet_backbone_roundtrip(tmp_path):
+    import jax as _jax
+    import src.models.components.act.act as ref_act
+    from src.models.components.act.transformer import (
+        Transformer as RefT,
+        TransformerEncoder as RefE,
+    )
+    from src.models.components.loss.misc import KLDivergence as RefKL
+
+    from pointcloudmatters_tpu.models.components.act.act import ACT
+    from pointcloudmatters_tpu.models.components.act.positional_encoding import (
+        PositionEmbeddingSine,
+    )
+    from pointcloudmatters_tpu.models.components.act.transformer import (
+        Transformer,
+        TransformerEncoder,
+    )
+    from pointcloudmatters_tpu.models.components.img_encoder.resnet import (
+        ResNetTorchVision,
+    )
+
+    HID, NHEAD, FFN, CHUNK, ADIM, QDIM = 32, 4, 16, 4, 7, 9
+
+    class _FakeBackbone(torch.nn.Module):
+        num_channels = 512
+
+        def forward(self, x):
+            return x
+
+    torch.manual_seed(2)
+    ref = ref_act.ACT(
+        backbone=_FakeBackbone(),
+        transformer=RefT(d_model=HID, nhead=NHEAD, num_encoder_layers=1,
+                         num_decoder_layers=2, dim_feedforward=FFN,
+                         dropout=0.0, normalize_before=False,
+                         return_intermediate_dec=True),
+        encoder=RefE(d_model=HID, nhead=NHEAD, dim_feedforward=FFN,
+                     dropout=0.0, num_layers=1),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=1,
+        action_dim=ADIM, qpos_dim=QDIM, latent_dim=16,
+        action_loss=torch.nn.L1Loss(reduction="none"), klloss=RefKL(),
+        kl_weight=10.0,
+    )
+    sd = {k: v for k, v in ref.state_dict().items()}
+    # graft Joiner-style resnet keys (reference `act/backbone.py:105-140`:
+    # backbone = Joiner(Backbone, posemb) -> state keys backbone.0.body.*)
+    rng = np.random.RandomState(5)
+    sd.update(_resnet18_state_dict(rng, in_ch=4, prefix="backbone.0.body."))
+
+    ckpt = tmp_path / "ref.ckpt"
+    _save_lightning_ckpt(ckpt, sd)
+    out = tmp_path / "orbax"
+    _porter().main([str(ckpt), str(out), "--nhead", str(NHEAD)])
+    item = _restore(out)
+
+    ours = ACT(
+        backbone=ResNetTorchVision(resnet_model="resnet18", channels=4,
+                                   resize_to=64),
+        transformer=Transformer(d_model=HID, nhead=NHEAD,
+                                num_encoder_layers=1, num_decoder_layers=2,
+                                dim_feedforward=FFN, dropout=0.0,
+                                normalize_before=False,
+                                return_intermediate_dec=True),
+        encoder=TransformerEncoder(d_model=HID, nhead=NHEAD,
+                                   dim_feedforward=FFN, dropout=0.0,
+                                   num_layers=1),
+        hidden_dim=HID, num_queries=CHUNK, num_cameras=1,
+        action_dim=ADIM, qpos_dim=QDIM, latent_dim=16,
+        action_loss="l1", kl_weight=10.0,
+        obs_feature_pos_embedding=PositionEmbeddingSine(
+            num_pos_feats=HID // 2, normalize=True
+        ),
+    )
+    rngk = _jax.random.PRNGKey(0)
+    batch = {
+        "qpos": jnp.zeros((2, QDIM)),
+        "actions": jnp.zeros((2, CHUNK, ADIM)),
+        "is_pad": jnp.zeros((2, CHUNK), bool),
+        "image": jnp.zeros((2, 1, 64, 64, 4)),
+    }
+    template = ours.init({"params": rngk, "vae": rngk}, batch, train=False)
+
+    def paths(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = set()
+            for k, v in tree.items():
+                out |= paths(v, f"{prefix}/{k}")
+            return out
+        return {f"{prefix}:{tuple(np.shape(tree))}"}
+
+    assert paths(item["params"]) == paths(template["params"])
+    assert paths(item["batch_stats"]) == paths(template["batch_stats"])
+    # conv1 ported without inflation (ckpt already carries 4 channels), HWIO
+    np.testing.assert_allclose(
+        item["params"]["backbone"]["conv1"]["kernel"],
+        np.transpose(np.asarray(sd["backbone.0.body.conv1.weight"]),
+                     (2, 3, 1, 0)),
+    )
+    # input_proj is the reference's 1x1 Conv2d -> our Dense
+    np.testing.assert_allclose(
+        item["params"]["input_proj"]["kernel"],
+        np.asarray(sd["input_proj.weight"])[:, :, 0, 0].T,
+    )
+    # the ported tree actually runs
+    o = ours.apply(
+        {"params": item["params"], "batch_stats": item["batch_stats"]},
+        batch, train=False, rngs={"vae": rngk},
+    )
+    assert np.isfinite(np.asarray(o["a_hat"])).all()
