@@ -345,3 +345,50 @@ class TestChunkSkipKNN:
         assert bool(jnp.all(idx[0, :, 5:] == -1))
         assert bool(jnp.all(d2[0, :, 5:] >= 1e9))
         assert bool(jnp.all(idx[1] >= 0))
+
+
+@on_tpu
+class TestTrainStepOnChip:
+    """One real jitted optimizer step of a scaled-down flagship on the TPU —
+    the integration seam the per-kernel tests can't cover (kernel dispatch
+    under bf16-mixed, grads through FPS/kNN/builder, optimizer update).
+    Runs as part of bench.py's pre-timing gate."""
+
+    def test_small_flagship_step_finite(self):
+        import sys, os
+        sys.path.insert(0, os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))))
+        from __graft_entry__ import build_batch, build_flagship
+        from pointcloudmatters_tpu.models.bc_module import BCModule
+        from pointcloudmatters_tpu.trainer import Trainer
+
+        policy = build_flagship(
+            hidden_dim=192, npoints=512, nsample=8, chunk=20,
+            enc_layers=2, dec_layers=2, ffn=32,
+        )
+        module = BCModule(
+            policy=policy,
+            optimizer={"type": "AdamW", "lr": 1e-4, "weight_decay": 0.05},
+            lr_scheduler={"scheduler": {"type": "OneCycleLR", "max_lr": 1e-4,
+                                        "pct_start": 0.1}},
+        )
+        trainer = Trainer(default_root_dir="/tmp/pcm_tpu_step", max_epochs=1,
+                          precision="bf16-mixed", devices="auto")
+        batch = build_batch(batch_size=4, n_points=2048, chunk=20)
+        module.setup_module(
+            type("K", (), {"estimated_stepping_batches": 100,
+                           "gradient_clip_val": 1.0,
+                           "accumulate_grad_batches": 1, "seed": 0})(),
+            batch,
+        )
+        state = trainer._replicate(module.initial_state(batch))
+        sharded = trainer.shard_batch(batch)
+        step = trainer._build_train_step(module)
+        p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
+        for _ in range(2):
+            state, metrics = step(state, sharded)
+        loss = float(metrics["loss"])
+        assert np.isfinite(loss), loss
+        assert np.isfinite(float(metrics["grad_norm"]))
+        p1 = np.asarray(jax.tree.leaves(state.params)[0])
+        assert not np.array_equal(p0, p1), "optimizer did not update params"
