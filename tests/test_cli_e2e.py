@@ -106,3 +106,33 @@ def test_expand_multirun_products():
     # group sweeps expand too
     jobs = expand_multirun(["trainer=cpu,default"])
     assert jobs == [["trainer=cpu"], ["trainer=default"]]
+
+
+def test_validate_cli_on_trained_ckpt(tmp_path, data_file):
+    """Train (fdr, save_last) then evaluate the checkpoint through
+    `python src/validate.py ckpt_path=...` — the handoff a user performs
+    (reference `src/validate.py:89-103`)."""
+    run_dir = tmp_path / "run"
+    proc = _run_cli(
+        _base_overrides(tmp_path, data_file)
+        + ["debug=fdr", f"hydra.run.dir={run_dir}",
+           "callbacks.model_checkpoint.save_last=true"]
+    )
+    assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
+    lasts = [
+        os.path.join(dp, d)
+        for dp, dirs, _ in os.walk(run_dir) for d in dirs if d == "last"
+    ]
+    assert lasts, f"no 'last' checkpoint under {run_dir}"
+
+    env = dict(os.environ, JAX_PLATFORMS="cpu", PCM_DISABLE_PALLAS="1")
+    env.pop("PCM_TEST_TPU", None)
+    val = subprocess.run(
+        [sys.executable, os.path.join(REPO, "src", "validate.py"),
+         *_base_overrides(tmp_path, data_file),
+         f"ckpt_path={lasts[0]}", f"hydra.run.dir={tmp_path}/val_run",
+         "trainer.limit_val_batches=1"],
+        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+    )
+    assert val.returncode == 0, val.stdout[-4000:] + val.stderr[-4000:]
+    assert "val/" in val.stdout or "loss" in val.stdout.lower()
