@@ -195,6 +195,13 @@ def register_custom_envs() -> bool:
         log.info(f"mani_skill2 unavailable; custom envs not registered ({e})")
         return False
 
+    registered_ids: list[str] = []
+
+    def _register(uid: str, max_episode_steps: int):
+        registered_ids.append(uid)
+        return register_env(uid, max_episode_steps=max_episode_steps,
+                            override=True)
+
     base_classes = {
         "PickCube": pc.PickCubeEnv,
         "LiftCube": pc.LiftCubeEnv,
@@ -236,8 +243,7 @@ def register_custom_envs() -> bool:
                 (base_classes["PegInsertionSide"],),
                 {"evaluate": staged_evaluate,
                  "_register_cameras": base_camera_cfg})
-    register_env("PegInsertionSide-3steps-v0", max_episode_steps=200,
-                 override=True)(peg3)
+    _register("PegInsertionSide-3steps-v0", 200)(peg3)
     base_classes["PegInsertionSide-3steps"] = peg3
 
     # --- MultiView rigs. Rigid tasks share one rig (200 steps); each
@@ -260,8 +266,7 @@ def register_custom_envs() -> bool:
             "_register_cameras":
                 lambda self, rig=rig: rig(CameraConfig, look_at),
         })
-        register_env(f"{task}-MultiView", max_episode_steps=max_steps,
-                     override=True)(cls)
+        _register(f"{task}-MultiView", max_steps)(cls)
 
     # --- ambient-light sweeps (`stack_cube.py:226-305`)
     def make_light_cls(base, intensity):
@@ -286,8 +291,7 @@ def register_custom_envs() -> bool:
         if base is None:
             continue
         for level in levels:
-            register_env(f"{task}-light-{level}", max_episode_steps=200,
-                         override=True)(make_light_cls(base, level))
+            _register(f"{task}-light-{level}", 200)(make_light_cls(base, level))
 
     # --- background color sweeps (StackCube, `stack_cube.py:308-...`)
     def make_background_cls(base, color, strength):
@@ -312,8 +316,7 @@ def register_custom_envs() -> bool:
         else:
             color, strength = level.split("-")
             cls = make_background_cls(sc_base, color, float(strength))
-        register_env(f"StackCube-background-{level}", max_episode_steps=200,
-                     override=True)(cls)
+        _register(f"StackCube-background-{level}", 200)(cls)
 
     # --- foreground cube-color sweeps
     def make_foreground_cls(base, red_level):
@@ -333,8 +336,7 @@ def register_custom_envs() -> bool:
 
     for level in FOREGROUND_LEVELS:
         red = None if level == "base" else float(level.split("-")[1])
-        register_env(f"StackCube-foreground-{level}", max_episode_steps=200,
-                     override=True)(make_foreground_cls(sc_base, red))
+        _register(f"StackCube-foreground-{level}", 200)(make_foreground_cls(sc_base, red))
 
     # --- stereo-depth noise variants (Hang)
     if "Hang" in base_classes:
@@ -352,14 +354,34 @@ def register_custom_envs() -> bool:
                          "_register_cameras": base_camera_cfg})
 
         for std in DEPTH_NOISE_STDS:
-            register_env(f"Hang-depth-noise-std{std}", max_episode_steps=200,
-                         override=True)(make_noise_cls(base_classes["Hang"], std))
+            _register(f"Hang-depth-noise-std{std}", 200)(make_noise_cls(base_classes["Hang"], std))
+
+    # registration <-> generator consistency: the sweep scripts are tested
+    # against iter_env_ids(), so the actual register_env calls must produce
+    # exactly that surface (minus soft-body tasks when warp is unavailable)
+    expected = set(iter_env_ids())
+    got = set(registered_ids)
+    unexpected = got - expected
+    if unexpected:
+        raise RuntimeError(
+            "register_custom_envs produced ids iter_env_ids() does not "
+            f"declare (update iter_env_ids): {sorted(unexpected)}"
+        )
+    softbody = ("Hang", "Pour", "Fill", "Excavate")
+    missing = {
+        uid for uid in expected - got
+        if not any(t in uid for t in softbody)
+    }
+    if missing:
+        raise RuntimeError(
+            "iter_env_ids() declares ids register_custom_envs never "
+            f"registered: {sorted(missing)}"
+        )
 
     _registered = True
-    n = (len(MULTIVIEW_TASKS) + sum(map(len, LIGHT_LEVELS.values()))
-         + len(BACKGROUND_LEVELS) + len(FOREGROUND_LEVELS)
-         + len(DEPTH_NOISE_STDS) + 1)
-    log.info(f"registered ~{n} custom ManiSkill2 env variants")
+    log.info(
+        f"registered {len(registered_ids)} custom ManiSkill2 env variants"
+    )
     return True
 
 

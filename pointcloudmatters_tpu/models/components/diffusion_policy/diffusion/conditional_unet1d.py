@@ -202,28 +202,25 @@ def port_torch_state(ref_module) -> dict:
     ``ConvTranspose1d`` weights ``(in, out, k)`` are spatially flipped for
     flax's ``transpose_kernel=False`` convention.
     """
-    import numpy as np
+    from pointcloudmatters_tpu.utils import torch_layouts as TL
 
     def t2n(t):
         return t.detach().cpu().numpy()
 
     def conv(c):
-        out = {"kernel": t2n(c.weight).transpose(2, 1, 0)}
+        out = {"kernel": TL.conv1d_kernel(t2n(c.weight))}
         if c.bias is not None:
             out["bias"] = t2n(c.bias)
         return out
 
     def conv_transpose(c):
-        # torch (in, out, k) -> flax (k, in, out), kernel flipped along k
-        out = {"kernel": np.ascontiguousarray(
-            t2n(c.weight).transpose(2, 0, 1)[::-1]
-        )}
+        out = {"kernel": TL.conv_transpose1d_kernel(t2n(c.weight))}
         if c.bias is not None:
             out["bias"] = t2n(c.bias)
         return out
 
     def linear(l):
-        out = {"kernel": t2n(l.weight).T}
+        out = {"kernel": TL.linear_kernel(t2n(l.weight))}
         if l.bias is not None:
             out["bias"] = t2n(l.bias)
         return out

@@ -159,8 +159,10 @@ class ResNetTorchVision(nn.Module):
 # ---------------------------------------------------------------------------
 
 def _port_conv(w: np.ndarray) -> np.ndarray:
-    # torch OIHW -> flax HWIO
-    return np.transpose(w, (2, 3, 1, 0))
+    # torch OIHW -> flax HWIO (shared layout contract)
+    from pointcloudmatters_tpu.utils.torch_layouts import conv2d_kernel
+
+    return conv2d_kernel(w)
 
 
 def _inflate_conv1(w_oihw: np.ndarray, channels: int) -> np.ndarray:

@@ -280,15 +280,17 @@ def knn_query_padded(
     (`ops/pallas_knn.py`). ``PCM_KNN_IMPL`` selects explicitly:
     ``v3`` (default) | ``chunkskip`` (`ops/pallas_knn2.py`, Morton-permuted
     queries + early-out) | ``baseline`` (chunked dense scan)."""
-    if _use_pallas() and nsample <= 128:
-        import os
+    import os
 
-        impl = os.environ.get("PCM_KNN_IMPL", "v3")
-        if impl not in ("v3", "chunkskip", "baseline"):
-            raise ValueError(
-                "PCM_KNN_IMPL must be one of 'v3', 'chunkskip', 'baseline'; "
-                f"got {impl!r}"
-            )
+    impl = os.environ.get("PCM_KNN_IMPL", "v3")
+    if impl not in ("v3", "chunkskip", "baseline"):
+        # validate regardless of backend/nsample so a typo never silently
+        # benchmarks the wrong implementation
+        raise ValueError(
+            "PCM_KNN_IMPL must be one of 'v3', 'chunkskip', 'baseline'; "
+            f"got {impl!r}"
+        )
+    if _use_pallas() and nsample <= 128:
         N_pad = -(-xyz.shape[1] // 128) * 128
         if impl == "v3" and N_pad * 128 * 4 <= 8 * 2 ** 20:
             from pointcloudmatters_tpu.ops.pallas_knn3 import (

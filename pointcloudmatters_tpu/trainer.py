@@ -109,6 +109,7 @@ class Trainer:
         self.default_root_dir = os.path.abspath(default_root_dir)
         os.makedirs(self.default_root_dir, exist_ok=True)
         self.min_epochs = min_epochs or 1
+        self.fast_dev_run = fast_dev_run
         self.max_epochs = 1 if fast_dev_run else max_epochs
         self.accelerator = accelerator
         self.devices_spec = devices
@@ -408,8 +409,13 @@ class Trainer:
 
         # Lightning-parity sanity check: run N validation batches before the
         # first epoch so a broken val path fails fast instead of after epoch
-        # 1 (-1 = full validation). Metrics are discarded, as in Lightning.
-        if self.num_sanity_val_steps and self.limit_val_batches not in (0, 0.0):
+        # 1 (-1 = full validation). Metrics are discarded, as in Lightning
+        # (which also forces this off under fast_dev_run).
+        if (
+            self.num_sanity_val_steps
+            and not self.fast_dev_run
+            and self.limit_val_batches not in (0, 0.0)
+        ):
             n = int(self.num_sanity_val_steps)
             saved = self.limit_val_batches
             if n != -1:
@@ -424,6 +430,14 @@ class Trainer:
                 self._run_validation(model, datamodule)
             finally:
                 self.limit_val_batches = saved
+                # discard sanity metrics: the noisy small-sample values must
+                # not seed the persistent val/best trackers (the reference
+                # resets them in on_train_start for the same reason,
+                # `maniskill2_act_bc_module.py:56-62`)
+                for attr in ("val_metrics", "best_val_metrics"):
+                    m = getattr(model, attr, None)
+                    if m is not None and hasattr(m, "reset"):
+                        m.reset()
 
         start_epoch = self.current_epoch
         for epoch in range(start_epoch, self.max_epochs):

@@ -44,6 +44,8 @@ REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
 
+from pointcloudmatters_tpu.utils import torch_layouts as TL  # noqa: E402
+
 
 # ---------------------------------------------------------------------------
 # state-dict navigation
@@ -83,11 +85,12 @@ class SD:
 
 
 # ---------------------------------------------------------------------------
-# primitive converters (state-dict versions of tests/_torch_port.py)
+# primitive converters — layout math lives in utils/torch_layouts.py (the
+# single torch->flax layout contract, shared with the parity tests)
 # ---------------------------------------------------------------------------
 
 def linear(sd: SD, p: str) -> dict:
-    out = {"kernel": sd[f"{p}.weight"].T}
+    out = {"kernel": TL.linear_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
@@ -105,29 +108,18 @@ def batchnorm(sd: SD, p: str) -> tuple[dict, dict]:
 
 
 def mha(sd: SD, p: str, nhead: int) -> dict:
-    w = sd[f"{p}.in_proj_weight"]  # (3D, D)
-    b = sd[f"{p}.in_proj_bias"]
-    d = w.shape[1]
-    dh = d // nhead
-
-    def proj(i: int) -> dict:
-        return {
-            "kernel": w[i * d:(i + 1) * d].T.reshape(d, nhead, dh),
-            "bias": b[i * d:(i + 1) * d].reshape(nhead, dh),
-        }
-
-    return {
-        "query": proj(0), "key": proj(1), "value": proj(2),
-        "out": {
-            "kernel": sd[f"{p}.out_proj.weight"].T.reshape(nhead, dh, d),
-            "bias": sd[f"{p}.out_proj.bias"],
-        },
-    }
+    tree = TL.mha_in_proj(
+        sd[f"{p}.in_proj_weight"], sd[f"{p}.in_proj_bias"], nhead
+    )
+    tree["out"] = TL.mha_out_proj(
+        sd[f"{p}.out_proj.weight"], sd[f"{p}.out_proj.bias"], nhead
+    )
+    return tree
 
 
 def conv1x1_2d(sd: SD, p: str) -> dict:
     """torch Conv2d k=1 (out,in,1,1) -> Dense kernel (in,out)."""
-    out = {"kernel": sd[f"{p}.weight"][:, :, 0, 0].T}
+    out = {"kernel": TL.conv2d_k1_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
@@ -135,7 +127,7 @@ def conv1x1_2d(sd: SD, p: str) -> dict:
 
 def conv1d(sd: SD, p: str) -> dict:
     """torch Conv1d (out,in,k) -> flax (k,in,out)."""
-    out = {"kernel": sd[f"{p}.weight"].transpose(2, 1, 0)}
+    out = {"kernel": TL.conv1d_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
@@ -143,7 +135,7 @@ def conv1d(sd: SD, p: str) -> dict:
 
 def conv1d_as_dense(sd: SD, p: str) -> dict:
     """torch Conv1d k=1 (out,in,1) -> Dense kernel (in,out)."""
-    out = {"kernel": sd[f"{p}.weight"][:, :, 0].T}
+    out = {"kernel": TL.conv1d_k1_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
@@ -151,25 +143,16 @@ def conv1d_as_dense(sd: SD, p: str) -> dict:
 
 def conv_transpose1d(sd: SD, p: str) -> dict:
     """torch ConvTranspose1d (in,out,k) -> flax (k,in,out), k flipped."""
-    out = {"kernel": np.ascontiguousarray(
-        sd[f"{p}.weight"].transpose(2, 0, 1)[::-1]
-    )}
+    out = {"kernel": TL.conv_transpose1d_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
 
 
 def spconv_k1(sd: SD, p: str) -> dict:
-    """spconv SubMConv3d k=1 -> Dense. spconv2 stores (out,1,1,1,in);
-    older spconv1 stored (1,1,1,in,out) — disambiguated by squeezing."""
-    w = sd[f"{p}.weight"]
-    w = np.squeeze(w)
-    if w.ndim != 2:
-        raise ValueError(f"{p}.weight does not look like a k=1 conv: {w.shape}")
-    # spconv2 (out, in): transpose; spconv1 (in, out): keep. The two are
-    # indistinguishable for square layers, so trust the spconv2 layout (the
-    # reference pins spconv 2.x).
-    out = {"kernel": w.T}
+    """spconv SubMConv3d k=1 -> Dense (spconv2 (out,1,1,1,in) layout — the
+    reference pins spconv 2.x)."""
+    out = {"kernel": TL.spconv_k1_kernel(sd[f"{p}.weight"])}
     if f"{p}.bias" in sd.keys():
         out["bias"] = sd[f"{p}.bias"]
     return out
@@ -462,12 +445,15 @@ def port_state_dict(
         params, stats, extras = port_dp_policy(sd)
     else:
         raise ValueError(f"unknown policy {policy!r} (use auto|act|dp)")
-    # the policy lives under BCModule.policy -> params root IS the policy tree
+    # the policy lives under BCModule.policy -> params root IS the policy
+    # tree. epoch=-1 means "nothing trained yet": Trainer.restore_checkpoint
+    # resumes at saved_epoch + 1, so 0 would silently skip epoch 0 when
+    # fine-tuning a ported checkpoint.
     item = {
         "params": params,
         "batch_stats": stats,
         "step": 0,
-        "epoch": 0,
+        "epoch": -1,
     }
     if extras:
         item["extras"] = extras

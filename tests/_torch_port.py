@@ -14,13 +14,15 @@ from __future__ import annotations
 
 import numpy as np
 
+from pointcloudmatters_tpu.utils import torch_layouts as TL
+
 
 def t2n(t) -> np.ndarray:
     return t.detach().cpu().numpy()
 
 
 def port_linear(lin) -> dict:
-    out = {"kernel": t2n(lin.weight).T}
+    out = {"kernel": TL.linear_kernel(t2n(lin.weight))}
     if lin.bias is not None:
         out["bias"] = t2n(lin.bias)
     return out
@@ -35,29 +37,13 @@ def port_embedding(emb) -> np.ndarray:
 
 
 def port_mha(mha, nhead: int) -> dict:
-    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention tree."""
-    d = mha.embed_dim
-    dh = d // nhead
-    w = t2n(mha.in_proj_weight)  # (3D, D)
-    b = t2n(mha.in_proj_bias)  # (3D,)
-
-    def proj(i: int) -> dict:
-        wi = w[i * d : (i + 1) * d]  # (D_out, D_in)
-        bi = b[i * d : (i + 1) * d]
-        return {
-            "kernel": wi.T.reshape(d, nhead, dh),
-            "bias": bi.reshape(nhead, dh),
-        }
-
-    return {
-        "query": proj(0),
-        "key": proj(1),
-        "value": proj(2),
-        "out": {
-            "kernel": t2n(mha.out_proj.weight).T.reshape(nhead, dh, d),
-            "bias": t2n(mha.out_proj.bias),
-        },
-    }
+    """torch nn.MultiheadAttention -> flax MultiHeadDotProductAttention tree
+    (layout math: utils/torch_layouts.py)."""
+    tree = TL.mha_in_proj(t2n(mha.in_proj_weight), t2n(mha.in_proj_bias), nhead)
+    tree["out"] = TL.mha_out_proj(
+        t2n(mha.out_proj.weight), t2n(mha.out_proj.bias), nhead
+    )
+    return tree
 
 
 def port_batchnorm1d(bn) -> tuple[dict, dict]:
@@ -141,7 +127,7 @@ def port_act_common(model, nhead: int) -> tuple[dict, dict]:
 
 def port_conv1d(conv) -> dict:
     """torch Conv1d (out,in,k) -> flax Conv {kernel (k,in,out)}."""
-    out = {"kernel": t2n(conv.weight).transpose(2, 1, 0)}
+    out = {"kernel": TL.conv1d_kernel(t2n(conv.weight))}
     if conv.bias is not None:
         out["bias"] = t2n(conv.bias)
     return out

@@ -167,7 +167,8 @@ def test_actpcd_pointnet_roundtrip(tmp_path):
     porter = _porter()
     porter.main([str(ckpt), str(out), "--nhead", str(NHEAD)])
     item = _restore(out)
-    assert item["epoch"] == 0 and item["step"] == 0
+    # epoch=-1: restore resumes at saved+1, i.e. trains from epoch 0
+    assert item["epoch"] == -1 and item["step"] == 0
 
     ours = ACTPCD(
         backbone=PointNet(in_channels=6),

@@ -105,3 +105,83 @@ def test_stereo_depth_knob_reaches_camera_cfgs():
 def test_peg_insertion_eval_remap_quirk():
     env_id, _ = maniskill2_env_kwargs("PegInsertionSide-v0")
     assert env_id == "PegInsertionSide-3steps-v0"
+
+
+def test_register_custom_envs_matches_generator(monkeypatch):
+    """Execute the real registration logic against stubbed ManiSkill2 modules
+    and let the built-in consistency check compare the registered ids to
+    iter_env_ids() (the generator the sweep tests rely on)."""
+    import sys
+    import types
+
+    import pointcloudmatters_tpu.envs.custom_maniskill2 as reg
+
+    class _Pose:
+        p = [0.0, 0.0, 0.0]
+        q = [1.0, 0.0, 0.0, 0.0]
+
+    def look_at(eye, target):
+        return _Pose()
+
+    class CameraConfig:
+        def __init__(self, *a, **k):
+            pass
+
+    registered = {}
+
+    def register_env(uid, max_episode_steps=None, override=False):
+        def deco(cls):
+            registered[uid] = (cls, max_episode_steps)
+            return cls
+
+        return deco
+
+    def stub(name, **attrs):
+        mod = types.ModuleType(name)
+        for k, v in attrs.items():
+            setattr(mod, k, v)
+        monkeypatch.setitem(sys.modules, name, mod)
+        return mod
+
+    class _BaseEnv:
+        enable_shadow = False
+
+        def evaluate(self, **kw):
+            return {}
+
+    ms2 = stub("mani_skill2")
+    stub("mani_skill2.sensors")
+    stub("mani_skill2.sensors.camera", CameraConfig=CameraConfig)
+    stub("mani_skill2.utils")
+    stub("mani_skill2.utils.registration", register_env=register_env)
+    stub("mani_skill2.utils.sapien_utils", look_at=look_at)
+    stub("mani_skill2.envs")
+    stub("mani_skill2.envs.pick_and_place")
+    stub("mani_skill2.envs.pick_and_place.pick_cube",
+         PickCubeEnv=type("PickCubeEnv", (_BaseEnv,), {}),
+         LiftCubeEnv=type("LiftCubeEnv", (_BaseEnv,), {}))
+    stub("mani_skill2.envs.pick_and_place.stack_cube",
+         StackCubeEnv=type("StackCubeEnv", (_BaseEnv,), {}))
+    stub("mani_skill2.envs.assembly")
+    stub("mani_skill2.envs.assembly.peg_insertion_side",
+         PegInsertionSideEnv=type("PegInsertionSideEnv", (_BaseEnv,), {}))
+    stub("mani_skill2.envs.misc")
+    stub("mani_skill2.envs.misc.turn_faucet",
+         TurnFaucetEnv=type("TurnFaucetEnv", (_BaseEnv,), {}))
+    # soft-body import left absent -> the exemption path is exercised
+
+    monkeypatch.setattr(reg, "_registered", False)
+    assert reg.register_custom_envs() is True
+
+    got = set(registered)
+    expected = set(iter_env_ids())
+    # everything registered is declared
+    assert got <= expected, sorted(got - expected)
+    # everything non-soft-body declared is registered
+    softbody = ("Hang", "Pour", "Fill", "Excavate")
+    hard = {u for u in expected if not any(t in u for t in softbody)}
+    assert hard <= got, sorted(hard - got)
+    # spot-check the per-variant episode budgets
+    assert registered["PegInsertionSide-3steps-v0"][1] == 200
+    assert registered["StackCube-MultiView"][1] == 200
+    monkeypatch.setattr(reg, "_registered", False)
