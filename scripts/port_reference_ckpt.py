@@ -15,8 +15,9 @@ Usage:
 Supported policies (auto-detected from state-dict keys):
 - ACT family — ``ACT``/``ACTPCD``/``ACTRLBench``/``ACTRLBenchPCD``
   (reference `act/act.py:40,312,601,707`): CVAE projections/heads/embeddings,
-  both transformer stacks, the PCD token-builder linear+BN, PointNet
-  (spconv k=1) or torchvision-ResNet backbones.
+  both transformer stacks, the PCD token-builder linear+BN, and PointNet
+  (spconv k=1), SpUNet (architecture inferred from the state-dict shapes),
+  or torchvision-ResNet backbones.
 - Diffusion policy — ``DiffusionUnetImagePolicy``
   (`diffusion_unet_image_policy.py:23`): ConditionalUnet1D, the PCD obs
   encoder, and the LinearNormalizer (persisted as checkpoint "extras", the
@@ -224,6 +225,72 @@ def pointnet_backbone(sd: SD) -> tuple[dict, dict]:
     return params, stats
 
 
+def spunet_backbone(sd: SD) -> tuple[dict, dict]:
+    """Reference SpUNet (`pcd_encoder/spunet.py:229-463`) -> our SpUNet trees
+    via the proven PonderV2 loader. The architecture (base/stage channels,
+    block counts, condition count, adaptive modulation) is inferred from the
+    state-dict shapes, so the default flagship tower and ablation variants
+    both port without flags."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudmatters_tpu.models.components.pcd_encoder.spunet import (
+        SpUNet,
+        load_ponderv2_weights,
+    )
+
+    w_in = sd["conv_input.conv.weight"]          # (out, 5,5,5, in)
+    in_ch, base = int(w_in.shape[-1]), int(w_in.shape[0])
+    S = len(sd.layer_indices("down"))
+    enc_ch = [int(sd[f"enc.{s}.block0.conv2.weight"].shape[0])
+              for s in range(S)]
+    dec_out = [int(sd[f"dec.{s}.block0.conv2.weight"].shape[0])
+               for s in range(S)]
+    # decode width at our stage s is channels[2S-1-s] (spunet.py:228-236)
+    channels = tuple(enc_ch) + tuple(dec_out[2 * S - 1 - p]
+                                     for p in range(S, 2 * S))
+    enc_layers = [len(sd.layer_indices(f"enc.{s}")) or len([
+        k for k in sd.keys()
+        if k.startswith(f"enc.{s}.block") and k.endswith(".conv1.weight")
+    ]) for s in range(S)]
+    dec_layers = [len([
+        k for k in sd.keys()
+        if k.startswith(f"dec.{s}.block") and k.endswith(".conv1.weight")
+    ]) for s in range(S)]
+    layers = tuple(enc_layers) + tuple(dec_layers[2 * S - 1 - p]
+                                       for p in range(S, 2 * S))
+    n_cond = len({
+        k.split(".")[3] for k in sd.keys()
+        if k.startswith("conv_input.bn.bns.")
+    })
+    adaptive = any(".modulation." in k for k in sd.keys())
+    num_classes = int(sd["final.weight"].shape[0]) if "final.weight" in sd.keys() else 0
+    conditions = tuple(f"cond{i}" for i in range(max(n_cond, 1)))
+    ctx = (int(sd["conv_input.bn.modulation.1.weight"].shape[1])
+           if adaptive and "conv_input.bn.modulation.1.weight" in sd.keys()
+           else 256)
+
+    model = SpUNet(
+        in_channels=in_ch, num_classes=num_classes, base_channels=base,
+        channels=channels, layers=layers, conditions=conditions,
+        norm_adaptive=adaptive, context_channels=ctx,
+    )
+    d = {
+        "grid_coord": jnp.zeros((1, 64, 3), jnp.int32).at[0, :, 0].set(
+            jnp.arange(64)
+        ),
+        "feat": jnp.zeros((1, 64, in_ch), jnp.float32),
+        "valid": jnp.ones((1, 64), bool),
+    }
+    variables = model.init(jax.random.PRNGKey(0), d, train=False)
+    return load_ponderv2_weights(
+        jax.tree.map(np.asarray, variables["params"]),
+        jax.tree.map(np.asarray, variables["batch_stats"]),
+        {f"module.backbone.{k}": v for k, v in sd.d.items()},
+        conditions=conditions,
+    )
+
+
 def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
     """torchvision ResNet keys -> our ResNetTorchVision trees, via the
     existing loader (`img_encoder/resnet.py`). Needs a template init to know
@@ -297,6 +364,8 @@ def port_act_policy(sd: SD, nhead: int) -> tuple[dict, dict]:
         bsd = sd.sub("backbone")
         if "conv1.0.weight" in bsd.keys():  # spconv PointNet
             P["backbone"], S["backbone"] = pointnet_backbone(bsd)
+        elif "conv_input.conv.weight" in bsd.keys():  # SpUNet
+            P["backbone"], S["backbone"] = spunet_backbone(bsd)
         elif any(k.startswith("0.body.") for k in bsd.keys()):
             # DETR Joiner: backbone.0.body.<torchvision resnet>
             rsd = bsd.sub("0").sub("body")

@@ -519,3 +519,130 @@ def test_act_resnet_backbone_roundtrip(tmp_path):
         batch, train=False, rngs={"vae": rngk},
     )
     assert np.isfinite(np.asarray(o["a_hat"])).all()
+
+
+# ---------------------------------------------------------------------------
+# ACTPCD with a SpUNet backbone (structural round-trip; also the first
+# coverage of spunet.load_ponderv2_weights itself)
+# ---------------------------------------------------------------------------
+
+def _spunet_state_dict(template_params, template_stats, rng):
+    """Invert our SpUNet tree into reference-shaped torch keys
+    (`pcd_encoder/spunet.py` attribute naming, spconv2 weight layouts)."""
+    sd = {}
+
+    def inv_spconv(w_flax, k):
+        # (k^3, in, out) -> (out, k, k, k, in)
+        kk, ci, co = w_flax.shape
+        return np.transpose(
+            rng.randn(kk, ci, co).astype(np.float32) * 0.05, (2, 0, 1)
+        ).reshape(co, k, k, k, ci)
+
+    def put_pdbn(scope, torch_prefix):
+        tree = template_params[scope]
+        stats = template_stats[scope]
+        i = 0
+        while f"bns_{i}" in tree:
+            w = tree[f"bns_{i}"]["scale"].shape[0]
+            sd[f"{torch_prefix}.bns.{i}.weight"] = rng.rand(w).astype(np.float32) + 0.5
+            sd[f"{torch_prefix}.bns.{i}.bias"] = rng.randn(w).astype(np.float32)
+            sd[f"{torch_prefix}.bns.{i}.running_mean"] = rng.randn(w).astype(np.float32) * 0.1
+            sd[f"{torch_prefix}.bns.{i}.running_var"] = rng.rand(w).astype(np.float32) + 0.5
+            i += 1
+        if "modulation" in tree:
+            kshape = tree["modulation"]["kernel"].shape  # (ctx, 2w)
+            sd[f"{torch_prefix}.modulation.1.weight"] = (
+                rng.randn(kshape[1], kshape[0]).astype(np.float32) * 0.05)
+            sd[f"{torch_prefix}.modulation.1.bias"] = (
+                rng.randn(kshape[1]).astype(np.float32) * 0.05)
+        del stats
+
+    k_of = {125: 5, 27: 3, 8: 2, 1: 1}
+    for name, leaf in template_params.items():
+        if name == "conv_input_weight":
+            sd["conv_input.conv.weight"] = inv_spconv(leaf, 5)
+        elif name == "conv_input_bn":
+            put_pdbn(name, "conv_input.bn")
+        elif name == "embedding_table":
+            n, c = leaf["embedding"].shape
+            sd["embedding_table.weight"] = rng.randn(n, c).astype(np.float32) * 0.05
+        elif name == "final_weight":
+            sd["final.weight"] = inv_spconv(leaf, 1)
+        elif name == "final_bias":
+            sd["final.bias"] = rng.randn(*leaf.shape).astype(np.float32)
+        elif name.endswith("_weight") and name.startswith(("down", "up")):
+            s = name[:-len("_weight")]
+            torch_name = f"{s[:-1].rstrip('0123456789') or s}"
+            stage = "".join(ch for ch in s if ch.isdigit())
+            kind = "down" if s.startswith("down") else "up"
+            sd[f"{kind}.{stage}.conv.weight"] = inv_spconv(leaf, 2)
+        elif name.endswith("_bn") and name.startswith(("down", "up")):
+            s = name[:-len("_bn")]
+            stage = "".join(ch for ch in s if ch.isdigit())
+            kind = "down" if s.startswith("down") else "up"
+            put_pdbn(name, f"{kind}.{stage}.bn")
+        elif "_block" in name:
+            # enc{s}_block{i}_<leafkind>
+            head, leafkind = name.split("_block")[0], name.split("_block")[1]
+            i, _, kind = leafkind.partition("_")
+            stage = head.replace("enc", "").replace("dec", "")
+            enc = "enc" if head.startswith("enc") else "dec"
+            tp = f"{enc}.{stage}.block{i}"
+            if kind in ("conv1", "conv2"):
+                sd[f"{tp}.{kind}.weight"] = inv_spconv(leaf, 3)
+            elif kind == "proj":
+                sd[f"{tp}.proj_conv.weight"] = inv_spconv(leaf, 1)
+            elif kind in ("bn1", "bn2"):
+                put_pdbn(name, f"{tp}.{kind}")
+            elif kind == "proj_bn":
+                put_pdbn(name, f"{tp}.proj_norm")
+    return sd
+
+
+def test_actpcd_spunet_roundtrip(tmp_path):
+    import jax as _jax
+    from pointcloudmatters_tpu.models.components.pcd_encoder.spunet import (
+        SpUNet,
+    )
+
+    TINY = dict(base_channels=8, channels=(8, 16, 16, 16, 16, 16, 12, 12),
+                layers=(1, 1, 1, 1, 1, 1, 1, 1))
+    net = SpUNet(in_channels=6, **TINY)
+    d = {
+        "grid_coord": jnp.zeros((1, 64, 3), jnp.int32).at[0, :, 0].set(
+            jnp.arange(64)),
+        "feat": jnp.zeros((1, 64, 6), jnp.float32),
+        "valid": jnp.ones((1, 64), bool),
+    }
+    variables = net.init(_jax.random.PRNGKey(0), d, train=False)
+    tp = _jax.tree.map(np.asarray, variables["params"])
+    ts = _jax.tree.map(np.asarray, variables["batch_stats"])
+
+    rng = np.random.RandomState(7)
+    bsd = _spunet_state_dict(tp, ts, rng)
+    porter = _porter()
+    P, S = porter.spunet_backbone(porter.SD(bsd))
+
+    def paths(tree, prefix=""):
+        if isinstance(tree, dict):
+            out = set()
+            for k, v in tree.items():
+                out |= paths(v, f"{prefix}/{k}")
+            return out
+        return {f"{prefix}:{tuple(np.shape(tree))}"}
+
+    assert paths(P) == paths(tp)
+    assert paths(S) == paths(ts)
+    # exact leaf mapping spot checks
+    np.testing.assert_allclose(
+        P["conv_input_weight"],
+        np.transpose(
+            bsd["conv_input.conv.weight"].reshape(8, 125, 6), (1, 2, 0)),
+    )
+    np.testing.assert_array_equal(
+        S["enc0_block0_bn1"]["bns_0"]["mean"],
+        bsd["enc.0.block0.bn1.bns.0.running_mean"],
+    )
+    # the ported tree runs
+    out = net.apply({"params": P, "batch_stats": S}, d, train=False)
+    assert np.isfinite(np.asarray(out)).all()
