@@ -16,8 +16,8 @@ Supported policies (auto-detected from state-dict keys):
 - ACT family — ``ACT``/``ACTPCD``/``ACTRLBench``/``ACTRLBenchPCD``
   (reference `act/act.py:40,312,601,707`): CVAE projections/heads/embeddings,
   both transformer stacks, the PCD token-builder linear+BN, and PointNet
-  (spconv k=1), SpUNet (architecture inferred from the state-dict shapes),
-  or torchvision-ResNet backbones.
+  (spconv k=1), SpUNet, ViT (base/large — architectures inferred from the
+  state-dict shapes), or torchvision-ResNet backbones.
 - Diffusion policy — ``DiffusionUnetImagePolicy``
   (`diffusion_unet_image_policy.py:23`): ConditionalUnet1D, the PCD obs
   encoder, and the LinearNormalizer (persisted as checkpoint "extras", the
@@ -291,6 +291,39 @@ def spunet_backbone(sd: SD) -> tuple[dict, dict]:
     )
 
 
+def vit_backbone(sd: SD) -> tuple[dict, dict]:
+    """timm/MAE-style ViT keys (`img_encoder/vit.py:96-810`) -> our ViT
+    trees via the existing loader; arch inferred from the weight shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudmatters_tpu.models.components.img_encoder.vit import (
+        ViT,
+        load_torch_vit_state_dict,
+    )
+
+    pe = sd["patch_embed.proj.weight"]  # (D, C, p, p)
+    embed_dim, in_ch = int(pe.shape[0]), int(pe.shape[1])
+    depth = len(sd.layer_indices("blocks"))
+    name = {(768, 12): "vit_base_patch16",
+            (1024, 24): "vit_large_patch16"}.get((embed_dim, depth))
+    if name is None:
+        raise ValueError(
+            f"unrecognized ViT architecture: embed_dim={embed_dim}, "
+            f"depth={depth} (known: base/16 and large/16)"
+        )
+    model = ViT(model_name=name, channels=in_ch)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 224, 224, in_ch), jnp.float32), train=False,
+    )
+    params = load_torch_vit_state_dict(
+        jax.tree.map(np.asarray, variables["params"]),
+        dict(sd.d), channels=in_ch,
+    )
+    return params, {}
+
+
 def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
     """torchvision ResNet keys -> our ResNetTorchVision trees, via the
     existing loader (`img_encoder/resnet.py`). Needs a template init to know
@@ -366,6 +399,10 @@ def port_act_policy(sd: SD, nhead: int) -> tuple[dict, dict]:
             P["backbone"], S["backbone"] = pointnet_backbone(bsd)
         elif "conv_input.conv.weight" in bsd.keys():  # SpUNet
             P["backbone"], S["backbone"] = spunet_backbone(bsd)
+        elif "patch_embed.proj.weight" in bsd.keys():  # ViT family
+            P["backbone"], bb_stats = vit_backbone(bsd)
+            if bb_stats:
+                S["backbone"] = bb_stats
         elif any(k.startswith("0.body.") for k in bsd.keys()):
             # DETR Joiner: backbone.0.body.<torchvision resnet>
             rsd = bsd.sub("0").sub("body")

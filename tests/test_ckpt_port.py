@@ -646,3 +646,49 @@ def test_actpcd_spunet_roundtrip(tmp_path):
     # the ported tree runs
     out = net.apply({"params": P, "batch_stats": S}, d, train=False)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---------------------------------------------------------------------------
+# ViT backbone branch (structural round-trip at vit_base scale)
+# ---------------------------------------------------------------------------
+
+def test_vit_backbone_branch(tmp_path):
+    D_, P_, DEPTH_ = 768, 16, 12
+    rng = np.random.RandomState(11)
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.02
+
+    sd = {
+        "patch_embed.proj.weight": t(D_, 3, P_, P_),
+        "patch_embed.proj.bias": t(D_),
+        "pos_embed": t(1, (224 // P_) ** 2 + 1, D_),
+        "cls_token": t(1, 1, D_),
+        "norm.weight": rng.rand(D_).astype(np.float32) + 0.5,
+        "norm.bias": t(D_),
+    }
+    for i in range(DEPTH_):
+        sd[f"blocks.{i}.norm1.weight"] = rng.rand(D_).astype(np.float32) + 0.5
+        sd[f"blocks.{i}.norm1.bias"] = t(D_)
+        sd[f"blocks.{i}.norm2.weight"] = rng.rand(D_).astype(np.float32) + 0.5
+        sd[f"blocks.{i}.norm2.bias"] = t(D_)
+        sd[f"blocks.{i}.attn.qkv.weight"] = t(3 * D_, D_)
+        sd[f"blocks.{i}.attn.qkv.bias"] = t(3 * D_)
+        sd[f"blocks.{i}.attn.proj.weight"] = t(D_, D_)
+        sd[f"blocks.{i}.attn.proj.bias"] = t(D_)
+        sd[f"blocks.{i}.mlp.fc1.weight"] = t(4 * D_, D_)
+        sd[f"blocks.{i}.mlp.fc1.bias"] = t(4 * D_)
+        sd[f"blocks.{i}.mlp.fc2.weight"] = t(D_, 4 * D_)
+        sd[f"blocks.{i}.mlp.fc2.bias"] = t(D_)
+
+    porter = _porter()
+    P, S = porter.vit_backbone(porter.SD(sd))
+    assert S == {}
+    # the ported patch embedding maps exactly (OIHW -> HWIO)
+    np.testing.assert_allclose(
+        P["model"]["patch_embed_proj"]["kernel"],
+        np.transpose(sd["patch_embed.proj.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_array_equal(P["model"]["pos_embed"], sd["pos_embed"])
+    # every block landed
+    assert all(f"blocks_{i}" in P["model"] for i in range(DEPTH_))
