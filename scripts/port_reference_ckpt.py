@@ -408,6 +408,15 @@ def port_act_policy(sd: SD, nhead: int) -> tuple[dict, dict]:
             rsd = bsd.sub("0").sub("body")
             ch = rsd["conv1.weight"].shape[1]
             P["backbone"], S["backbone"] = resnet_backbone(rsd, ch)
+        elif any(k.endswith("layer1.0.conv1.weight") for k in bsd.keys()):
+            # direct torchvision/R3M ResNet (keys possibly prefixed
+            # convnet./module./resnet. — the loader strips those)
+            conv1_key = next(
+                k for k in bsd.keys() if k.endswith("conv1.weight")
+                and "layer" not in k and "downsample" not in k
+            )
+            ch = bsd[conv1_key].shape[1]
+            P["backbone"], S["backbone"] = resnet_backbone(bsd, ch)
         else:
             raise ValueError(
                 "unrecognized ACT backbone keys: "

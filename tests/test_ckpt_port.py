@@ -692,3 +692,30 @@ def test_vit_backbone_branch(tmp_path):
     np.testing.assert_array_equal(P["model"]["pos_embed"], sd["pos_embed"])
     # every block landed
     assert all(f"blocks_{i}" in P["model"] for i in range(DEPTH_))
+
+
+def test_r3m_style_resnet_backbone_branch():
+    """Direct (non-Joiner) ResNet backbones with R3M's convnet. prefix route
+    through the same loader."""
+    rng = np.random.RandomState(13)
+    sd = {f"convnet.{k}": v
+          for k, v in _resnet18_state_dict(rng, in_ch=3).items()}
+    porter = _porter()
+    P = {}
+    S = {}
+    # run through the dispatch, not the helper, to cover branch selection
+    full = porter.SD({f"backbone.{k}": v for k, v in sd.items()})
+    bsd = full.sub("backbone")
+    assert not any(k.startswith("0.body.") for k in bsd.keys())
+    assert any(k.endswith("layer1.0.conv1.weight") for k in bsd.keys())
+    conv1_key = next(
+        k for k in bsd.keys() if k.endswith("conv1.weight")
+        and "layer" not in k and "downsample" not in k
+    )
+    assert bsd[conv1_key].shape[1] == 3
+    P, S = porter.resnet_backbone(bsd, 3)
+    np.testing.assert_allclose(
+        P["conv1"]["kernel"],
+        np.transpose(sd["convnet.conv1.weight"], (2, 3, 1, 0)),
+    )
+    assert "layer1_0" in P and "bn1" in S
