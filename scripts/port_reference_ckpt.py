@@ -394,35 +394,37 @@ def port_act_policy(sd: SD, nhead: int) -> tuple[dict, dict]:
 
     # backbone
     if "backbone" in sd:
-        bsd = sd.sub("backbone")
-        if "conv1.0.weight" in bsd.keys():  # spconv PointNet
-            P["backbone"], S["backbone"] = pointnet_backbone(bsd)
-        elif "conv_input.conv.weight" in bsd.keys():  # SpUNet
-            P["backbone"], S["backbone"] = spunet_backbone(bsd)
-        elif "patch_embed.proj.weight" in bsd.keys():  # ViT family
-            P["backbone"], bb_stats = vit_backbone(bsd)
-            if bb_stats:
-                S["backbone"] = bb_stats
-        elif any(k.startswith("0.body.") for k in bsd.keys()):
-            # DETR Joiner: backbone.0.body.<torchvision resnet>
-            rsd = bsd.sub("0").sub("body")
-            ch = rsd["conv1.weight"].shape[1]
-            P["backbone"], S["backbone"] = resnet_backbone(rsd, ch)
-        elif any(k.endswith("layer1.0.conv1.weight") for k in bsd.keys()):
-            # direct torchvision/R3M ResNet (keys possibly prefixed
-            # convnet./module./resnet. — the loader strips those)
-            conv1_key = next(
-                k for k in bsd.keys() if k.endswith("conv1.weight")
-                and "layer" not in k and "downsample" not in k
-            )
-            ch = bsd[conv1_key].shape[1]
-            P["backbone"], S["backbone"] = resnet_backbone(bsd, ch)
-        else:
-            raise ValueError(
-                "unrecognized ACT backbone keys: "
-                + ", ".join(sorted(bsd.keys())[:5])
-            )
+        P["backbone"], bb_stats = port_any_backbone(sd.sub("backbone"))
+        if bb_stats:
+            S["backbone"] = bb_stats
     return P, S
+
+
+def port_any_backbone(bsd: SD) -> tuple[dict, dict]:
+    """Dispatch an encoder sub-state-dict to the right family loader
+    (PointNet / SpUNet / ViT / Joiner-ResNet / direct-ResNet)."""
+    if "conv1.0.weight" in bsd.keys():  # spconv PointNet
+        return pointnet_backbone(bsd)
+    if "conv_input.conv.weight" in bsd.keys():  # SpUNet
+        return spunet_backbone(bsd)
+    if "patch_embed.proj.weight" in bsd.keys():  # ViT family
+        return vit_backbone(bsd)
+    if any(k.startswith("0.body.") for k in bsd.keys()):
+        # DETR Joiner: backbone.0.body.<torchvision resnet>
+        rsd = bsd.sub("0").sub("body")
+        return resnet_backbone(rsd, rsd["conv1.weight"].shape[1])
+    if any(k.endswith("layer1.0.conv1.weight") for k in bsd.keys()):
+        # direct torchvision/R3M ResNet (keys possibly prefixed
+        # convnet./module./resnet. — the loader strips those)
+        conv1_key = next(
+            k for k in bsd.keys() if k.endswith("conv1.weight")
+            and "layer" not in k and "downsample" not in k
+        )
+        return resnet_backbone(bsd, bsd[conv1_key].shape[1])
+    raise ValueError(
+        "unrecognized encoder backbone keys: "
+        + ", ".join(sorted(bsd.keys())[:5])
+    )
 
 
 def port_unet(sd: SD, p: str) -> dict:
@@ -521,6 +523,23 @@ def port_normalizer(sd: SD, p: str) -> dict:
     return out
 
 
+def port_multi_image_obs_encoder(sd: SD, p: str = "obs_encoder") -> tuple[dict, dict]:
+    """MultiImageObsEncoder (`vision/multi_image_obs_encoder.py:19-244`):
+    the torch ModuleDict ``key_model_map`` ("rgb" when shared, else one model
+    per rgb key) maps to our ``rgb_model`` / ``model_<key>`` submodules."""
+    kmm = sd.sub(f"{p}.key_model_map")
+    P: dict = {}
+    S: dict = {}
+    models = sorted({k.split(".", 1)[0] for k in kmm.keys()})
+    for m in models:
+        params, stats = port_any_backbone(kmm.sub(m))
+        name = "rgb_model" if m == "rgb" else f"model_{m}"
+        P[name] = params
+        if stats:
+            S[name] = stats
+    return P, S
+
+
 def port_dp_policy(sd: SD) -> tuple[dict, dict, dict]:
     """DiffusionUnetImagePolicy -> (params, batch_stats, extras)."""
     P: dict = {"model": port_unet(sd, "model")}
@@ -529,6 +548,8 @@ def port_dp_policy(sd: SD) -> tuple[dict, dict, dict]:
         P["obs_encoder"], S["obs_encoder"] = port_pcd_obs_encoder(
             sd, "obs_encoder"
         )
+    elif "obs_encoder.key_model_map" in sd:
+        P["obs_encoder"], S["obs_encoder"] = port_multi_image_obs_encoder(sd)
     extras = {}
     if f"normalizer.params_dict" in sd:
         extras["normalizer"] = port_normalizer(sd, "normalizer")

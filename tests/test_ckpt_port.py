@@ -719,3 +719,21 @@ def test_r3m_style_resnet_backbone_branch():
         np.transpose(sd["convnet.conv1.weight"], (2, 3, 1, 0)),
     )
     assert "layer1_0" in P and "bn1" in S
+
+
+def test_dp_multi_image_obs_encoder_branch():
+    """DP RGBD path: key_model_map.rgb (shared) routes to our rgb_model."""
+    rng = np.random.RandomState(17)
+    rsd = _resnet18_state_dict(rng, in_ch=4)
+    sd = {f"obs_encoder.key_model_map.rgb.{k}": v for k, v in rsd.items()}
+    porter = _porter()
+    P, S = porter.port_multi_image_obs_encoder(porter.SD(sd))
+    assert set(P) == {"rgb_model"} and set(S) == {"rgb_model"}
+    np.testing.assert_allclose(
+        P["rgb_model"]["conv1"]["kernel"],
+        np.transpose(rsd["conv1.weight"], (2, 3, 1, 0)),
+    )
+    # per-key (unshared) models map to model_<key>
+    sd2 = {f"obs_encoder.key_model_map.image.{k}": v for k, v in rsd.items()}
+    P2, S2 = porter.port_multi_image_obs_encoder(porter.SD(sd2))
+    assert set(P2) == {"model_image"}
