@@ -603,6 +603,8 @@ def main(argv=None) -> str:
     ap.add_argument("--policy", default="auto", choices=["auto", "act", "dp"])
     ap.add_argument("--nhead", type=int, default=8,
                     help="attention heads (for in_proj splitting)")
+    ap.add_argument("--dry-run", action="store_true",
+                    help="print the mapped tree summary without writing")
     args = ap.parse_args(argv)
 
     import torch
@@ -614,15 +616,33 @@ def main(argv=None) -> str:
         for k, v in state_dict.items()
     }
     item = port_state_dict(state_dict, policy=args.policy, nhead=args.nhead)
+    n = sum(
+        int(np.prod(np.shape(x)))
+        for x in _tree_leaves(item["params"])
+    )
+
+    if args.dry_run:
+        def summarize(tree, prefix="  "):
+            for k in sorted(tree):
+                v = tree[k]
+                if isinstance(v, dict):
+                    leaves = sum(
+                        int(np.prod(np.shape(x))) for x in _tree_leaves(v)
+                    )
+                    print(f"{prefix}{k}/  ({leaves:,} params)")
+                else:
+                    print(f"{prefix}{k}: {tuple(np.shape(v))}")
+
+        print(f"would port {n:,} parameters (dry run):")
+        summarize(item["params"])
+        if item.get("extras"):
+            print(f"  extras: {sorted(item['extras'])}")
+        return None
 
     import orbax.checkpoint as ocp
 
     out = os.path.abspath(args.out)
     ocp.PyTreeCheckpointer().save(out, item, force=True)
-    n = sum(
-        int(np.prod(np.shape(x)))
-        for x in _tree_leaves(item["params"])
-    )
     print(f"ported {n:,} parameters -> {out}")
     return out
 
