@@ -359,11 +359,15 @@ def register_custom_envs() -> bool:
     # registration <-> generator consistency: the sweep scripts are tested
     # against iter_env_ids(), so the actual register_env calls must produce
     # exactly that surface (minus soft-body tasks when warp is unavailable)
+    # The same invariant is enforced as a hard failure in CI
+    # (tests/test_env_registry.py); at import time on simulator hosts we
+    # only log, so a drift never crashes training entrypoints that don't
+    # touch the drifted id.
     expected = set(iter_env_ids())
     got = set(registered_ids)
     unexpected = got - expected
     if unexpected:
-        raise RuntimeError(
+        log.error(
             "register_custom_envs produced ids iter_env_ids() does not "
             f"declare (update iter_env_ids): {sorted(unexpected)}"
         )
@@ -373,7 +377,7 @@ def register_custom_envs() -> bool:
         if not any(t in uid for t in softbody)
     }
     if missing:
-        raise RuntimeError(
+        log.error(
             "iter_env_ids() declares ids register_custom_envs never "
             f"registered: {sorted(missing)}"
         )

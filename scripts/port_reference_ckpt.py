@@ -249,7 +249,7 @@ def spunet_backbone(sd: SD) -> tuple[dict, dict]:
     # decode width at our stage s is channels[2S-1-s] (spunet.py:228-236)
     channels = tuple(enc_ch) + tuple(dec_out[2 * S - 1 - p]
                                      for p in range(S, 2 * S))
-    enc_layers = [len(sd.layer_indices(f"enc.{s}")) or len([
+    enc_layers = [len([
         k for k in sd.keys()
         if k.startswith(f"enc.{s}.block") and k.endswith(".conv1.weight")
     ]) for s in range(S)]
@@ -303,14 +303,14 @@ def vit_backbone(sd: SD) -> tuple[dict, dict]:
     )
 
     pe = sd["patch_embed.proj.weight"]  # (D, C, p, p)
-    embed_dim, in_ch = int(pe.shape[0]), int(pe.shape[1])
+    embed_dim, in_ch, patch = int(pe.shape[0]), int(pe.shape[1]), int(pe.shape[2])
     depth = len(sd.layer_indices("blocks"))
-    name = {(768, 12): "vit_base_patch16",
-            (1024, 24): "vit_large_patch16"}.get((embed_dim, depth))
+    name = {(768, 12, 16): "vit_base_patch16",
+            (1024, 24, 16): "vit_large_patch16"}.get((embed_dim, depth, patch))
     if name is None:
         raise ValueError(
             f"unrecognized ViT architecture: embed_dim={embed_dim}, "
-            f"depth={depth} (known: base/16 and large/16)"
+            f"depth={depth}, patch={patch} (known: base/16 and large/16)"
         )
     model = ViT(model_name=name, channels=in_ch)
     variables = model.init(
@@ -336,9 +336,27 @@ def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
         load_torch_state_dict,
     )
 
-    depth = 50 if any("layer1.0.conv3" in k for k in sd.keys()) else 18
+    # infer the exact torchvision variant from block counts + block type so
+    # an unexpected depth raises instead of silently dropping blocks
+    stripped = {k.split("convnet.")[-1].split("module.")[-1] for k in sd.keys()}
+    bottleneck = any("layer1.0.conv3" in k for k in stripped)
+    per_stage = tuple(
+        len({k.split(f"layer{st}.")[1].split(".")[0]
+             for k in stripped if f"layer{st}." in k})
+        for st in (1, 2, 3, 4)
+    )
+    arch = {("basic", (2, 2, 2, 2)): "resnet18",
+            ("basic", (3, 4, 6, 3)): "resnet34",
+            ("bottleneck", (3, 4, 6, 3)): "resnet50"}.get(
+        ("bottleneck" if bottleneck else "basic", per_stage)
+    )
+    if arch is None:
+        raise ValueError(
+            "unrecognized torchvision ResNet layout: "
+            f"{'bottleneck' if bottleneck else 'basic'} blocks {per_stage}"
+        )
     model = ResNetTorchVision(
-        resnet_model=f"resnet{depth}", channels=channels, resize_to=64
+        resnet_model=arch, channels=channels, resize_to=64
     )
     variables = model.init(
         jax.random.PRNGKey(0),

@@ -737,3 +737,26 @@ def test_dp_multi_image_obs_encoder_branch():
     sd2 = {f"obs_encoder.key_model_map.image.{k}": v for k, v in rsd.items()}
     P2, S2 = porter.port_multi_image_obs_encoder(porter.SD(sd2))
     assert set(P2) == {"model_image"}
+
+
+def test_resnet_arch_inference_rejects_unknown_depth():
+    """A non-18/34/50 block layout must raise, not silently drop blocks."""
+    rng = np.random.RandomState(19)
+    sd = _resnet18_state_dict(rng, in_ch=3)
+    # graft an extra block into layer1 -> (3,2,2,2), not a torchvision layout
+    for k in list(sd):
+        if k.startswith("layer1.1."):
+            sd[k.replace("layer1.1.", "layer1.2.")] = sd[k]
+    porter = _porter()
+    with pytest.raises(ValueError, match="unrecognized torchvision ResNet"):
+        porter.resnet_backbone(porter.SD(sd), 3)
+
+
+def test_vit_arch_inference_rejects_unknown_patch():
+    rng = np.random.RandomState(23)
+    sd = {"patch_embed.proj.weight": rng.randn(768, 3, 8, 8).astype(np.float32)}
+    for i in range(12):
+        sd[f"blocks.{i}.norm1.weight"] = rng.rand(768).astype(np.float32)
+    porter = _porter()
+    with pytest.raises(ValueError, match="unrecognized ViT"):
+        porter.vit_backbone(porter.SD(sd))

@@ -75,18 +75,3 @@ def test_mha_split_matches_torch_math():
     torch_out = heads.reshape(4, D) @ wo.T + bo
     flax_out = np.einsum("nhk,hkd->nd", heads, out["kernel"]) + out["bias"]
     np.testing.assert_allclose(flax_out, torch_out)
-
-
-def test_offline_backend_logger_records_schema(tmp_path):
-    import json
-
-    from pointcloudmatters_tpu.utils.loggers import WandbLogger
-
-    lg = WandbLogger(save_dir=str(tmp_path), project="p", offline=True,
-                     tags=["a"], id=None)
-    lg.log_metrics({"train/loss": 1.5}, 3)
-    lg.finalize()
-    cfg = json.load(open(tmp_path / "wandb" / "backend_config.json"))
-    assert cfg["backend"] == "wandb"
-    assert cfg["project"] == "p" and cfg["tags"] == ["a"]
-    assert (tmp_path / "wandb" / "metrics.csv").exists()
