@@ -16,8 +16,8 @@ Supported policies (auto-detected from state-dict keys):
 - ACT family — ``ACT``/``ACTPCD``/``ACTRLBench``/``ACTRLBenchPCD``
   (reference `act/act.py:40,312,601,707`): CVAE projections/heads/embeddings,
   both transformer stacks, the PCD token-builder linear+BN, and PointNet
-  (spconv k=1), SpUNet, ViT (base/large — architectures inferred from the
-  state-dict shapes), or torchvision-ResNet backbones.
+  (spconv k=1), SpUNet, ViT (base/large), MultiViT/MultiMAE (architectures
+  inferred from the state-dict shapes), or torchvision-ResNet backbones.
 - Diffusion policy — ``DiffusionUnetImagePolicy``
   (`diffusion_unet_image_policy.py:23`): ConditionalUnet1D, the PCD obs
   encoder, and the LinearNormalizer (persisted as checkpoint "extras", the
@@ -324,6 +324,34 @@ def vit_backbone(sd: SD) -> tuple[dict, dict]:
     return params, {}
 
 
+def multivit_backbone(sd: SD) -> tuple[dict, dict]:
+    """EPFL MultiMAE/MultiViT trunk (`img_encoder/multivit.py:1790-2654`
+    encoder surface) via the existing loader; dims from the weight shapes."""
+    import jax
+    import jax.numpy as jnp
+
+    from pointcloudmatters_tpu.models.components.img_encoder.multivit import (
+        MultiViTModel,
+        load_torch_multimae_state_dict,
+    )
+
+    dim = int(sd["input_adapters.rgb.proj.weight"].shape[0])
+    depth = len(sd.layer_indices("encoder"))
+    heads = {768: 12, 1024: 16}.get(dim)
+    if heads is None:
+        raise ValueError(f"unrecognized MultiViT dim_tokens={dim}")
+    model = MultiViTModel(dim_tokens=dim, depth=depth, num_heads=heads,
+                          img_size=224)
+    variables = model.init(
+        jax.random.PRNGKey(0),
+        jnp.zeros((1, 224, 224, 4), jnp.float32), train=False,
+    )
+    params = load_torch_multimae_state_dict(
+        jax.tree.map(np.asarray, variables["params"]), dict(sd.d)
+    )
+    return params, {}
+
+
 def resnet_backbone(sd: SD, channels: int) -> tuple[dict, dict]:
     """torchvision ResNet keys -> our ResNetTorchVision trees, via the
     existing loader (`img_encoder/resnet.py`). Needs a template init to know
@@ -427,6 +455,8 @@ def port_any_backbone(bsd: SD) -> tuple[dict, dict]:
         return spunet_backbone(bsd)
     if "patch_embed.proj.weight" in bsd.keys():  # ViT family
         return vit_backbone(bsd)
+    if "input_adapters.rgb.proj.weight" in bsd.keys():  # MultiViT/MultiMAE
+        return multivit_backbone(bsd)
     if any(k.startswith("0.body.") for k in bsd.keys()):
         # DETR Joiner: backbone.0.body.<torchvision resnet>
         rsd = bsd.sub("0").sub("body")

@@ -760,3 +760,46 @@ def test_vit_arch_inference_rejects_unknown_patch():
     porter = _porter()
     with pytest.raises(ValueError, match="unrecognized ViT"):
         porter.vit_backbone(porter.SD(sd))
+
+
+def test_multivit_backbone_branch():
+    """MultiMAE-style trunks route through load_torch_multimae_state_dict."""
+    D_, DEPTH_ = 768, 12
+    rng = np.random.RandomState(29)
+
+    def t(*shape):
+        return rng.randn(*shape).astype(np.float32) * 0.02
+
+    sd = {
+        "global_tokens": t(1, 1, D_),
+        "input_adapters.rgb.proj.weight": t(D_, 3, 16, 16),
+        "input_adapters.rgb.proj.bias": t(D_),
+        "input_adapters.depth.proj.weight": t(D_, 1, 16, 16),
+        "input_adapters.depth.proj.bias": t(D_),
+    }
+    for i in range(DEPTH_):
+        tp = f"encoder.{i}"
+        sd[f"{tp}.norm1.weight"] = rng.rand(D_).astype(np.float32) + 0.5
+        sd[f"{tp}.norm1.bias"] = t(D_)
+        sd[f"{tp}.norm2.weight"] = rng.rand(D_).astype(np.float32) + 0.5
+        sd[f"{tp}.norm2.bias"] = t(D_)
+        sd[f"{tp}.attn.qkv.weight"] = t(3 * D_, D_)
+        sd[f"{tp}.attn.qkv.bias"] = t(3 * D_)
+        sd[f"{tp}.attn.proj.weight"] = t(D_, D_)
+        sd[f"{tp}.attn.proj.bias"] = t(D_)
+        sd[f"{tp}.mlp.fc1.weight"] = t(4 * D_, D_)
+        sd[f"{tp}.mlp.fc1.bias"] = t(4 * D_)
+        sd[f"{tp}.mlp.fc2.weight"] = t(D_, 4 * D_)
+        sd[f"{tp}.mlp.fc2.bias"] = t(D_)
+
+    porter = _porter()
+    P, S = porter.multivit_backbone(porter.SD(sd))
+    assert S == {}
+    np.testing.assert_allclose(
+        P["model"]["input_adapters_rgb"]["proj"]["kernel"],
+        np.transpose(sd["input_adapters.rgb.proj.weight"], (2, 3, 1, 0)),
+    )
+    np.testing.assert_array_equal(
+        P["model"]["global_tokens"], sd["global_tokens"]
+    )
+    assert "encoder_11" in P["model"]
