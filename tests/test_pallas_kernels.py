@@ -385,10 +385,14 @@ class TestTrainStepOnChip:
         sharded = trainer.shard_batch(batch)
         step = trainer._build_train_step(module)
         p0 = np.asarray(jax.tree.leaves(state.params)[0]).copy()
-        for _ in range(2):
+        losses = []
+        for _ in range(40):
             state, metrics = step(state, sharded)
-        loss = float(metrics["loss"])
-        assert np.isfinite(loss), loss
+            losses.append(float(metrics["loss"]))
+        assert np.isfinite(losses).all(), losses
         assert np.isfinite(float(metrics["grad_norm"]))
         p1 = np.asarray(jax.tree.leaves(state.params)[0])
         assert not np.array_equal(p0, p1), "optimizer did not update params"
+        # short memorization run on the fixed batch: the tail must improve on
+        # the head, or the chip-side training dynamics are broken
+        assert np.mean(losses[-10:]) < np.mean(losses[:5]), losses
