@@ -144,10 +144,14 @@ class GroupedBNReluMax(nn.Module):
     affine ``y = x*es + eb`` and ReLU is monotone, so the K-neighbor max-pool
     only needs the per-token ``max``/``min`` of the gathered rows (max when
     the effective scale ``es >= 0``, min when negative) plus the global
-    ``sum``/``sumsq`` for the batch statistics. All four are reductions over
-    K that XLA fuses with the gather, so the ``(B, M, K, D)`` neighborhood
-    tensor never materializes in HBM — measured 65 ms -> ~17 ms fwd+bwd at
-    the flagship shape (B=32, M=2048, K=16, D=512) on v5e.
+    ``sum``/``sumsq`` for the batch statistics — the intermediate BN output
+    over the full neighborhood tensor is never needed. XLA still
+    materializes the raw ``(B, M, K, D)`` gather itself (~1 GB at the
+    flagship shape; profiled in PERF.md — its gather/scatter primitives are
+    the measured floor here, 72.7 ms fwd+bwd at B=32, M=2048, K=16, D=512 on
+    v5e vs ~137 ms for the unfused chain), so the win of this reformulation
+    is eliminating the BN/ReLU passes and h-broadcasts over that tensor,
+    not the gather traffic.
 
     Bit-exact vs the unfused path: bf16 rounding is monotone, so
     ``max_k(fl(fl(x_k*es)+eb))`` equals the same map applied to
