@@ -40,7 +40,7 @@ from pointcloudmatters_tpu.ops.attention import (
 )
 
 
-_ATTENTION_IMPLS = ("dense", "flash", "oneshot")
+_ATTENTION_IMPLS = ("dense", "flash", "oneshot", "fused")
 
 
 def _check_attention_impl(impl: str) -> None:
@@ -122,6 +122,119 @@ class EfficientMHA(nn.Module):
         )(out)
 
 
+class _ProjParams(nn.Module):
+    """Declares a DenseGeneral-shaped (kernel, bias) pair without applying
+    it — lets ``FusedSelfAttention`` own parameters whose tree is identical
+    to ``nn.MultiHeadDotProductAttention``'s query/key/value/out children."""
+
+    kernel_shape: tuple
+    bias_shape: tuple
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel", nn.linear.default_kernel_init, self.kernel_shape
+        )
+        bias = self.param("bias", nn.initializers.zeros, self.bias_shape)
+        return kernel, bias
+
+
+class FusedSelfAttention(nn.Module):
+    """Self-attention backend that picks the fastest measured kernel per
+    execution mode (flagship shapes, v5e, per encoder layer):
+
+    - **deterministic forward** (rollout validation, inference): the whole
+      layer attention — QKV projections + 8-head whole-row attention + out
+      projection — runs as ONE Pallas kernel (`ops/fused_mha.py`), 9.1 ms
+      vs 10.8 for the composed oneshot path (the probe without the layer
+      around it: 8.1 vs 11.5);
+    - **training**: the composed path (einsum projections + the oneshot
+      core) — the fused kernel's composed backward measured *slower*
+      (40.0 vs 36.1 ms fwd+bwd), so training keeps the oneshot structure;
+    - off-TPU / masked / short sequences: dense flax math.
+
+    Parameter tree is identical to ``nn.MultiHeadDotProductAttention``
+    (query/key/value kernels (D, H, dh), out kernel (H, dh, D)), so
+    checkpoints are interchangeable with every other backend. Dropout uses
+    the oneshot kernel's broadcast semantics (mask shared over batch,
+    distinct per head).
+    """
+
+    num_heads: int
+    d_model: int
+    dropout_rate: float = 0.0
+
+    @nn.compact
+    def __call__(self, inputs_q, inputs_k, inputs_v, mask=None,
+                 deterministic: bool = True) -> jax.Array:
+        import os
+
+        from pointcloudmatters_tpu.ops.fused_mha import fused_mha
+        from pointcloudmatters_tpu.ops.oneshot_attention import (
+            oneshot_attention,
+        )
+
+        H = self.num_heads
+        D = self.d_model
+        DH = D // H
+        dt = inputs_q.dtype
+        wq, bq = _ProjParams((D, H, DH), (H, DH), name="query")()
+        wk, bk = _ProjParams((D, H, DH), (H, DH), name="key")()
+        wv, bv = _ProjParams((D, H, DH), (H, DH), name="value")()
+        wo, bo = _ProjParams((H, DH, D), (D,), name="out")()
+        use_dropout = self.dropout_rate > 0.0 and not deterministic
+
+        on_tpu = (
+            jax.default_backend() == "tpu"
+            and os.environ.get("PCM_DISABLE_PALLAS", "0") not in ("1", "true")
+        )
+        if on_tpu and mask is None and inputs_q.shape[1] >= 512:
+            if not use_dropout:
+                # inference: one kernel for the whole layer attention
+                return fused_mha(
+                    inputs_q, inputs_v,
+                    wq.reshape(D, D).astype(dt), bq.reshape(D).astype(dt),
+                    wk.reshape(D, D).astype(dt), bk.reshape(D).astype(dt),
+                    wv.reshape(D, D).astype(dt), bv.reshape(D).astype(dt),
+                    wo.reshape(D, D).astype(dt), bo.astype(dt),
+                    jnp.zeros((1,), jnp.int32), H, 0.0,
+                ).astype(dt)
+            # training: composed projections + the oneshot core (its custom
+            # VJP is the measured-fastest backward at these shapes)
+            seed = jax.lax.bitcast_convert_type(
+                jax.random.bits(self.make_rng("dropout"), (1,), "uint32"),
+                jnp.int32,
+            )
+            q = (jnp.einsum("bld,dhk->blhk", inputs_q, wq.astype(dt))
+                 + bq.astype(dt)).transpose(0, 2, 1, 3)
+            k = (jnp.einsum("bld,dhk->blhk", inputs_k, wk.astype(dt))
+                 + bk.astype(dt)).transpose(0, 2, 1, 3)
+            v = (jnp.einsum("bld,dhk->blhk", inputs_v, wv.astype(dt))
+                 + bv.astype(dt)).transpose(0, 2, 1, 3)
+            o = oneshot_attention(
+                q, k, v, seed, DH ** -0.5, self.dropout_rate
+            ).transpose(0, 2, 1, 3)
+            return (jnp.einsum("blhk,hkd->bld", o, wo.astype(dt))
+                    + bo.astype(dt))
+
+        # dense fallback (CPU tests, masked/short sequences): exactly the
+        # flax MultiHeadDotProductAttention math over the same parameters
+        q = jnp.einsum("...d,dhk->...hk", inputs_q, wq.astype(dt)) + bq.astype(dt)
+        k = jnp.einsum("...d,dhk->...hk", inputs_k, wk.astype(dt)) + bk.astype(dt)
+        v = jnp.einsum("...d,dhk->...hk", inputs_v, wv.astype(dt)) + bv.astype(dt)
+        out = nn.dot_product_attention(
+            q, k, v, mask=mask,
+            dropout_rng=self.make_rng("dropout") if use_dropout else None,
+            dropout_rate=self.dropout_rate if use_dropout else 0.0,
+            broadcast_dropout=True,
+            deterministic=not use_dropout,
+        )
+        return (
+            jnp.einsum("...hk,hkd->...d", out, wo.astype(dt))
+            + bo.astype(dt)
+        )
+
+
 class TransformerEncoderLayer(nn.Module):
     d_model: int
     nhead: int
@@ -149,20 +262,26 @@ class TransformerEncoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         _check_attention_impl(self.attention_impl)
-        attn_kwargs = {}
-        if self.attention_impl == "flash":
-            attn_kwargs["attention_fn"] = make_flash_attention_fn()
-        elif self.attention_impl == "oneshot":
-            attn_kwargs["attention_fn"] = make_oneshot_attention_fn()
-        attn = nn.MultiHeadDotProductAttention(
-            num_heads=self.nhead,
-            qkv_features=self.d_model,
-            out_features=self.d_model,
-            dropout_rate=self.dropout,
-            broadcast_dropout=True,
-            name="self_attn",
-            **attn_kwargs,
-        )
+        if self.attention_impl == "fused":
+            attn = FusedSelfAttention(
+                num_heads=self.nhead, d_model=self.d_model,
+                dropout_rate=self.dropout, name="self_attn",
+            )
+        else:
+            attn_kwargs = {}
+            if self.attention_impl == "flash":
+                attn_kwargs["attention_fn"] = make_flash_attention_fn()
+            elif self.attention_impl == "oneshot":
+                attn_kwargs["attention_fn"] = make_oneshot_attention_fn()
+            attn = nn.MultiHeadDotProductAttention(
+                num_heads=self.nhead,
+                qkv_features=self.d_model,
+                out_features=self.d_model,
+                dropout_rate=self.dropout,
+                broadcast_dropout=True,
+                name="self_attn",
+                **attn_kwargs,
+            )
         ffn_in = nn.Dense(self.dim_feedforward, name="linear1")
         ffn_out = nn.Dense(self.d_model, name="linear2")
         norm1 = nn.LayerNorm(epsilon=1e-5, name="norm1")
@@ -221,6 +340,12 @@ class TransformerDecoderLayer(nn.Module):
         deterministic: bool = True,
     ) -> jax.Array:
         _check_attention_impl(self.attention_impl)
+        if self.attention_impl == "fused":
+            raise ValueError(
+                "attention_impl='fused' is encoder-self-attention only (the "
+                "kernel assumes query==key rows); use dense/oneshot/flash "
+                "for the decoder"
+            )
         cross_kwargs = {}
         if self.attention_impl == "flash":
             cross_kwargs["attention_fn"] = make_flash_attention_fn()

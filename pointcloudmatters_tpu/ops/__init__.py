@@ -12,6 +12,7 @@ L=2051, d_head=64; see PERF.md for the full step budget):
 | kNN | XLA top-k (`pointops._knn_query_padded_xla`) | automatic off-TPU / nsample > 128 | CPU tests, interpret mode | — |
 | FPS | VMEM-resident scan (`pallas_fps.py`) | automatic on TPU | always on TPU | 7.9 ms (4x over XLA scan) |
 | attention (encoder self, L~2k) | **oneshot whole-row** (`oneshot_attention.py`) | `Transformer.attention_impl="oneshot"` (default) | key row fits VMEM (L <~ 8k), no mask/bias | 26.6-29.5 ms/layer fwd+bwd vs dense 35.7 |
+| attention (encoder self, eval) | fused QKV+attn+out one-kernel fwd (`fused_mha.py`) | `attention_impl="fused"` (opt-in; trains via the oneshot core) | deterministic forwards: rollout validation / inference | 8.8 vs 10.6 ms/layer eval fwd; training parity (36.1) |
 | attention (long L) | flash streaming (`flash_attention.py`, vendored JAX) | `attention_impl="flash"` | L >~ 8k (whole key row no longer fits VMEM) | 43.9 ms/layer at L=2051 (loses to oneshot there) |
 | attention (decoder cross, nq=100) | XLA dense | `TransformerDecoderLayer.attention_impl="dense"` (default) | tiny query side: padding to kernel tiles costs more than it saves | 5.4 ms vs 7.0 oneshot |
 | attention (CVAE posterior, L=102) | XLA dense | automatic (`min_seq_len` in `ops/attention.py`) | short sequences | — |
