@@ -39,7 +39,7 @@ def _base_overrides(tmp_path, data_file):
     ]
 
 
-def _run_cli(args, timeout=300):
+def _run_cli(args, timeout=600):
     env = dict(os.environ, JAX_PLATFORMS="cpu", PCM_DISABLE_PALLAS="1")
     env.pop("PCM_TEST_TPU", None)
     return subprocess.run(
@@ -82,7 +82,7 @@ def test_train_cli_multirun(tmp_path, data_file):
         ["-m", "seed=1,2"]
         + _base_overrides(tmp_path, data_file)
         + ["debug=fdr", f"hydra.sweep.dir={sweep_dir}"],
-        timeout=600,
+        timeout=900,
     )
     assert proc.returncode == 0, proc.stdout[-4000:] + proc.stderr[-4000:]
     assert (sweep_dir / "0").is_dir() and (sweep_dir / "1").is_dir()
@@ -132,7 +132,7 @@ def test_validate_cli_on_trained_ckpt(tmp_path, data_file):
          *_base_overrides(tmp_path, data_file),
          f"ckpt_path={lasts[0]}", f"hydra.run.dir={tmp_path}/val_run",
          "trainer.limit_val_batches=1"],
-        capture_output=True, text=True, timeout=300, cwd=REPO, env=env,
+        capture_output=True, text=True, timeout=600, cwd=REPO, env=env,
     )
     assert val.returncode == 0, val.stdout[-4000:] + val.stderr[-4000:]
     assert "val/" in val.stdout or "loss" in val.stdout.lower()
