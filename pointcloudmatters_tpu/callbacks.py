@@ -17,6 +17,7 @@ import shutil
 from typing import Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from pointcloudmatters_tpu.utils.pylogger import RankedLogger
@@ -242,6 +243,186 @@ class RichProgressBar(Callback):
 
 
 ProgressBar = RichProgressBar
+
+
+class StochasticWeightAveraging(Callback):
+    """Stochastic Weight Averaging (reference
+    `configs/callbacks/stochastic_weight_averaging.yaml:3` -> Lightning
+    ``StochasticWeightAveraging``).
+
+    Semantics mirrored from Lightning/torch ``swa_utils``:
+
+    - from ``swa_epoch_start`` (fraction of ``max_epochs`` or an absolute
+      epoch) the end-of-epoch parameters enter a uniform running average;
+    - the LR anneals (cos) from its scheduled value at the SWA start to
+      ``swa_lrs`` over ``annealing_epochs`` and then holds constant (torch
+      ``SWALR``; modeled here by wrapping the compiled LR schedule and
+      rebuilding the optax chain before the train step is jitted);
+    - at fit end the averaged weights replace the model's and the
+      BatchNorm running statistics are recomputed over the train loader as
+      a UNIFORM average of per-batch statistics (torch
+      ``update_bn``'s ``momentum=None`` cumulative mode). flax hides the BN
+      momentum inside each layer, so the refresh recovers exact per-batch
+      stats by probing: one forward from zeroed stats gives
+      ``(1-m)*batch``, one from ones gives ``m + (1-m)*batch`` — their
+      difference is ``m`` per leaf, after which each batch's stats are
+      exact. ``bn_update_steps`` bounds the refresh cost (-1 = full epoch).
+    """
+
+    def __init__(
+        self,
+        swa_lrs,
+        swa_epoch_start: float = 0.8,
+        annealing_epochs: int = 10,
+        annealing_strategy: str = "cos",
+        avg_fn=None,
+        device=None,
+        bn_update_steps: int = -1,
+    ):
+        del device  # Lightning API compat; placement is the mesh's concern
+        if annealing_strategy not in ("cos", "linear"):
+            raise ValueError(f"annealing_strategy={annealing_strategy!r}")
+        self.swa_lrs = (
+            float(swa_lrs[0]) if isinstance(swa_lrs, (list, tuple))
+            else float(swa_lrs)
+        )
+        self.swa_epoch_start = swa_epoch_start
+        self.annealing_epochs = int(annealing_epochs)
+        self.annealing_strategy = annealing_strategy
+        self.avg_fn = avg_fn
+        self.bn_update_steps = bn_update_steps
+        self.n_averaged = 0
+        self._avg = None
+        self._swa_start_epoch: Optional[int] = None
+
+    # -- schedule wrapping -------------------------------------------------
+    def _swa_schedule(self, base, swa_start_step: float, anneal_steps: float):
+        swa_lr = self.swa_lrs
+        lr0 = base(swa_start_step) if base is not None else swa_lr
+        cos_strategy = self.annealing_strategy == "cos"
+
+        def schedule(step):
+            s = jnp.asarray(step, jnp.float32)
+            t = jnp.clip((s - swa_start_step) / max(anneal_steps, 1.0), 0.0, 1.0)
+            if cos_strategy:
+                frac = (1.0 - jnp.cos(jnp.pi * t)) / 2.0
+            else:
+                frac = t
+            annealed = lr0 + (swa_lr - lr0) * frac
+            if base is None:
+                return jnp.where(s < swa_start_step, swa_lr, annealed)
+            return jnp.where(s < swa_start_step, base(s), annealed)
+
+        return schedule
+
+    def setup(self, trainer, module) -> None:
+        if isinstance(self.swa_epoch_start, float) and self.swa_epoch_start < 1:
+            self._swa_start_epoch = int(trainer.max_epochs * self.swa_epoch_start)
+        else:
+            self._swa_start_epoch = int(self.swa_epoch_start)
+        # rebuild the optimizer with the SWALR-wrapped schedule; the train
+        # step has not been jitted yet (Trainer.fit runs callbacks first)
+        if not hasattr(module, "configure_optimizers"):
+            return
+        total = trainer.estimated_stepping_batches or 1
+        steps_per_epoch = max(1, total // max(trainer.max_epochs, 1))
+        swa_start_step = float(self._swa_start_epoch * steps_per_epoch)
+        anneal_steps = float(self.annealing_epochs * steps_per_epoch)
+        knobs = dict(getattr(module, "_opt_knobs", {"total_steps": total}))
+        module.configure_optimizers(
+            params=trainer.state.params, **knobs,
+            schedule_transform=lambda base: self._swa_schedule(
+                base, swa_start_step, anneal_steps
+            ),
+        )
+        trainer._schedule = module.schedule
+        # the wrapped chain's state tree can differ from the one built in
+        # initial_state (e.g. constant-lr ScaleState -> ScaleByScheduleState);
+        # re-init before any training step has run
+        new_opt = jax.jit(module.tx.init)(trainer.state.params)
+        trainer.state = trainer.state.replace(opt_state=new_opt)
+
+    # -- parameter averaging ------------------------------------------------
+    def on_train_epoch_end(self, trainer, module, metrics: dict, epoch: int) -> None:
+        if epoch < (self._swa_start_epoch or 0):
+            return
+        params = trainer.state.params
+        if self.avg_fn is not None:
+            self._avg = (
+                params if self._avg is None
+                else jax.tree.map(
+                    lambda a, p: self.avg_fn(a, p, self.n_averaged),
+                    self._avg, params,
+                )
+            )
+        elif self._avg is None:
+            self._avg = params
+        else:
+            n = float(self.n_averaged)
+            self._avg = jax.tree.map(
+                lambda a, p: a + (p - a) / (n + 1.0), self._avg, params
+            )
+        self.n_averaged += 1
+
+    # -- BN refresh + final swap -------------------------------------------
+    def _refresh_batch_stats(self, trainer, module, params):
+        stats = trainer.state.batch_stats
+        if not stats or not jax.tree.leaves(stats):
+            return stats
+        dm = getattr(trainer, "datamodule", None)
+        if dm is None:
+            return stats
+        loader = dm.train_dataloader()
+
+        def run_with(stats_tree, batch, rngs):
+            _, mut = module.apply_train(
+                {"params": params, "batch_stats": stats_tree}, batch, rngs=rngs
+            )
+            return mut["batch_stats"]
+
+        run_with = jax.jit(run_with)
+        zeros = jax.tree.map(jnp.zeros_like, stats)
+        ones = jax.tree.map(jnp.ones_like, stats)
+        momentum = None
+        acc, count = None, 0
+        limit = self.bn_update_steps if self.bn_update_steps != -1 else len(loader)
+        for i, batch in enumerate(loader):
+            if i >= limit:
+                break
+            batch = trainer.shard_batch(batch)
+            rngs = module.make_rngs(jax.random.PRNGKey(i))
+            if momentum is None:
+                a = run_with(zeros, batch, rngs)
+                b = run_with(ones, batch, rngs)
+                momentum = jax.tree.map(lambda x, y: y - x, a, b)
+                batch_stat = jax.tree.map(
+                    lambda x, m: x / jnp.maximum(1.0 - m, 1e-6), a, momentum
+                )
+            else:
+                a = run_with(zeros, batch, rngs)
+                batch_stat = jax.tree.map(
+                    lambda x, m: x / jnp.maximum(1.0 - m, 1e-6), a, momentum
+                )
+            acc = (
+                batch_stat if acc is None
+                else jax.tree.map(
+                    lambda s, x: s + (x - s) / (count + 1.0), acc, batch_stat
+                )
+            )
+            count += 1
+        return acc if acc is not None else stats
+
+    def on_fit_end(self, trainer, module) -> None:
+        if self._avg is None or self.n_averaged == 0:
+            return
+        log.info(
+            f"SWA: swapping in the average of {self.n_averaged} epoch-end "
+            f"parameter snapshots and refreshing BN statistics"
+        )
+        new_stats = self._refresh_batch_stats(trainer, module, self._avg)
+        trainer.state = trainer.state.replace(
+            params=self._avg, batch_stats=new_stats
+        )
 
 
 class DeviceStatsMonitor(Callback):

@@ -22,7 +22,10 @@ from pointcloudmatters_tpu.trainer import TrainState
 from pointcloudmatters_tpu.utils.metrics import Metrics
 from pointcloudmatters_tpu.utils.optimizer import build_optimizer
 from pointcloudmatters_tpu.utils.pylogger import RankedLogger
-from pointcloudmatters_tpu.utils.scheduler import build_scheduler
+from pointcloudmatters_tpu.utils.scheduler import (
+    build_momentum_schedule,
+    build_scheduler,
+)
 
 log = RankedLogger(__name__, rank_zero_only=True)
 
@@ -107,20 +110,29 @@ class BCModule:
     # -- optimizer ----------------------------------------------------------
     def configure_optimizers(self, params, total_steps: int,
                              gradient_clip_val: Optional[float] = None,
-                             accumulate_grad_batches: int = 1) -> None:
+                             accumulate_grad_batches: int = 1,
+                             schedule_transform=None) -> None:
         """Builds the optax chain; mirrors the reference's
         ``configure_optimizers`` with total_steps injection
-        (`maniskill2_act_bc_module.py:343-367`)."""
+        (`maniskill2_act_bc_module.py:343-367`). ``schedule_transform``
+        optionally wraps the built LR schedule (SWA callback's SWALR)."""
         base_lr = float(self.optimizer_cfg.get("lr", 1e-4))
         schedule = None
+        b1_schedule = None
         if self.lr_scheduler_cfg:
             sched_cfg = self.lr_scheduler_cfg.get(
                 "scheduler", self.lr_scheduler_cfg
             )
             schedule = build_scheduler(dict(sched_cfg), total_steps, base_lr)
+            # OneCycleLR cycle_momentum=True (torch default): beta1 cycles
+            # 0.95 <-> 0.85 inverse to the LR
+            b1_schedule = build_momentum_schedule(dict(sched_cfg), total_steps)
+        if schedule_transform is not None:
+            schedule = schedule_transform(schedule)
         tx = build_optimizer(
             dict(self.optimizer_cfg), params=params,
             param_dicts=self.param_dicts, lr_schedule=schedule,
+            b1_schedule=b1_schedule,
         )
         if gradient_clip_val:
             tx = optax.chain(optax.clip_by_global_norm(gradient_clip_val), tx)

@@ -125,16 +125,30 @@ class EfficientMHA(nn.Module):
 class _ProjParams(nn.Module):
     """Declares a DenseGeneral-shaped (kernel, bias) pair without applying
     it — lets ``FusedSelfAttention`` own parameters whose tree is identical
-    to ``nn.MultiHeadDotProductAttention``'s query/key/value/out children."""
+    to ``nn.MultiHeadDotProductAttention``'s query/key/value/out children.
+
+    Init mirrors flax DenseGeneral's ``kernel_init_wrap``: the initializer is
+    called on the FLATTENED 2-D shape (prod(in_axes), prod(out_axes)) and the
+    result reshaped to ``kernel_shape`` — so fan_in for a (D, H, dh) q/k/v
+    kernel is D (not H), and for the (H, dh, D) out kernel it is H*dh. Without
+    this, lecun_normal sees the 3-D shape and picks fan_in from axis -2,
+    giving ~8x too-large stddev and an init inconsistent with the other
+    interchangeable backends.
+    """
 
     kernel_shape: tuple
     bias_shape: tuple
+    n_in_axes: int = 1  # leading dims of kernel_shape that are input axes
 
     @nn.compact
     def __call__(self):
-        kernel = self.param(
-            "kernel", nn.linear.default_kernel_init, self.kernel_shape
-        )
+        def flat_init(key, shape, dtype=jnp.float32):
+            n_in = int(np.prod(shape[: self.n_in_axes]))
+            n_out = int(np.prod(shape[self.n_in_axes :]))
+            flat = nn.linear.default_kernel_init(key, (n_in, n_out), dtype)
+            return flat.reshape(shape)
+
+        kernel = self.param("kernel", flat_init, self.kernel_shape)
         bias = self.param("bias", nn.initializers.zeros, self.bias_shape)
         return kernel, bias
 
@@ -181,7 +195,7 @@ class FusedSelfAttention(nn.Module):
         wq, bq = _ProjParams((D, H, DH), (H, DH), name="query")()
         wk, bk = _ProjParams((D, H, DH), (H, DH), name="key")()
         wv, bv = _ProjParams((D, H, DH), (H, DH), name="value")()
-        wo, bo = _ProjParams((H, DH, D), (D,), name="out")()
+        wo, bo = _ProjParams((H, DH, D), (D,), n_in_axes=2, name="out")()
         use_dropout = self.dropout_rate > 0.0 and not deterministic
 
         on_tpu = (
@@ -189,7 +203,10 @@ class FusedSelfAttention(nn.Module):
             and os.environ.get("PCM_DISABLE_PALLAS", "0") not in ("1", "true")
         )
         if on_tpu and mask is None and inputs_q.shape[1] >= 512:
-            if not use_dropout:
+            # the fused kernel computes k from inputs_q (self-attention: the
+            # ACT encoder always passes q is k = x + pos); if a caller ever
+            # hands a DIFFERENT k source, use the composed path which honors it
+            if not use_dropout and inputs_k is inputs_q:
                 # inference: one kernel for the whole layer attention
                 return fused_mha(
                     inputs_q, inputs_v,
@@ -199,12 +216,18 @@ class FusedSelfAttention(nn.Module):
                     wo.reshape(D, D).astype(dt), bo.astype(dt),
                     jnp.zeros((1,), jnp.int32), H, 0.0,
                 ).astype(dt)
-            # training: composed projections + the oneshot core (its custom
-            # VJP is the measured-fastest backward at these shapes)
-            seed = jax.lax.bitcast_convert_type(
-                jax.random.bits(self.make_rng("dropout"), (1,), "uint32"),
-                jnp.int32,
-            )
+            # training (or deterministic with a distinct k source): composed
+            # projections + the oneshot core (its custom VJP is the
+            # measured-fastest backward at these shapes)
+            if use_dropout:
+                seed = jax.lax.bitcast_convert_type(
+                    jax.random.bits(self.make_rng("dropout"), (1,), "uint32"),
+                    jnp.int32,
+                )
+                rate = self.dropout_rate
+            else:
+                seed = jnp.zeros((1,), jnp.int32)
+                rate = 0.0
             q = (jnp.einsum("bld,dhk->blhk", inputs_q, wq.astype(dt))
                  + bq.astype(dt)).transpose(0, 2, 1, 3)
             k = (jnp.einsum("bld,dhk->blhk", inputs_k, wk.astype(dt))
@@ -212,7 +235,7 @@ class FusedSelfAttention(nn.Module):
             v = (jnp.einsum("bld,dhk->blhk", inputs_v, wv.astype(dt))
                  + bv.astype(dt)).transpose(0, 2, 1, 3)
             o = oneshot_attention(
-                q, k, v, seed, DH ** -0.5, self.dropout_rate
+                q, k, v, seed, DH ** -0.5, rate
             ).transpose(0, 2, 1, 3)
             return (jnp.einsum("blhk,hkd->bld", o, wo.astype(dt))
                     + bo.astype(dt))

@@ -73,12 +73,22 @@ class OfflineBackendLogger(CSVLogger):
     def __init__(self, save_dir: Optional[str] = None, name: str = "",
                  prefix: str = "", **backend_kwargs: Any):
         if save_dir is None:
-            # mlflow-style configs carry tracking_uri instead of save_dir
-            save_dir = str(
+            # mlflow-style configs carry tracking_uri instead of save_dir;
+            # a URI is not a path — use file: URIs' path component, fall back
+            # to "logs" for remote schemes (http(s)://host would otherwise
+            # become a bogus directory tree)
+            raw = str(
                 backend_kwargs.get("tracking_uri")
                 or backend_kwargs.get("run_directory")
                 or "logs"
             )
+            from urllib.parse import urlparse
+
+            parsed = urlparse(raw)
+            if parsed.scheme in ("", "file"):
+                save_dir = (parsed.path or "logs") if parsed.scheme else raw
+            else:
+                save_dir = "logs"
         super().__init__(save_dir, name=name or self.backend, prefix=prefix)
         self.backend_config = dict(backend_kwargs)
         with open(os.path.join(self.save_dir, "backend_config.json"), "w") as fh:

@@ -21,6 +21,7 @@ from __future__ import annotations
 from typing import Any, Callable, Optional, Sequence, Union
 
 import jax
+import jax.numpy as jnp
 import optax
 
 from pointcloudmatters_tpu.utils.pylogger import RankedLogger
@@ -31,6 +32,49 @@ log = RankedLogger(__name__, rank_zero_only=True)
 OPTIMIZERS = Registry("optimizers")
 
 ScalarOrSchedule = Union[float, Callable[[Any], Any]]
+
+
+def scale_by_adam_b1_schedule(
+    b1_schedule: Callable[[Any], Any],
+    b2: float = 0.999,
+    eps: float = 1e-8,
+) -> optax.GradientTransformation:
+    """``optax.scale_by_adam`` with a per-step beta1 (torch OneCycleLR
+    ``cycle_momentum=True`` semantics: the scheduler mutates the optimizer's
+    beta1 before each step, and torch's bias correction uses the *current*
+    beta1 — ``1 - beta1_t ** step`` — not the product of historical betas).
+
+    State is ``optax.ScaleByAdamState`` (count, mu, nu), structurally
+    identical to ``scale_by_adam``'s, so checkpoints swap between cycled and
+    fixed-beta1 optimizers without tree surgery.
+    """
+
+    def init_fn(params):
+        return optax.ScaleByAdamState(
+            count=jnp.zeros([], jnp.int32),
+            mu=jax.tree.map(jnp.zeros_like, params),
+            nu=jax.tree.map(jnp.zeros_like, params),
+        )
+
+    def update_fn(updates, state, params=None):
+        del params
+        # the lr schedule convention here is schedule(steps_completed); use
+        # the same index for beta1 so step t sees the value torch's
+        # scheduler installed before optimizer.step() number t
+        b1 = b1_schedule(state.count)
+        mu = jax.tree.map(lambda m, g: b1 * m + (1.0 - b1) * g,
+                          state.mu, updates)
+        nu = jax.tree.map(lambda v, g: b2 * v + (1.0 - b2) * (g * g),
+                          state.nu, updates)
+        count = state.count + 1
+        c1 = 1.0 - b1 ** count.astype(jnp.float32)
+        c2 = 1.0 - b2 ** count.astype(jnp.float32)
+        new_updates = jax.tree.map(
+            lambda m, v: (m / c1) / (jnp.sqrt(v / c2) + eps), mu, nu
+        )
+        return new_updates, optax.ScaleByAdamState(count=count, mu=mu, nu=nu)
+
+    return optax.GradientTransformation(init_fn, update_fn)
 
 
 @OPTIMIZERS.register_module(name="SGD")
@@ -57,11 +101,15 @@ def adam(
     betas: Sequence[float] = (0.9, 0.999),
     eps: float = 1e-8,
     weight_decay: float = 0.0,
+    b1_schedule: Optional[Callable] = None,
 ) -> optax.GradientTransformation:
     parts = []
     if weight_decay:
         parts.append(optax.add_decayed_weights(weight_decay))  # coupled L2
-    parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
+    if b1_schedule is not None:
+        parts.append(scale_by_adam_b1_schedule(b1_schedule, b2=betas[1], eps=eps))
+    else:
+        parts.append(optax.scale_by_adam(b1=betas[0], b2=betas[1], eps=eps))
     parts.append(optax.scale_by_learning_rate(lr))
     return optax.chain(*parts)
 
@@ -72,7 +120,16 @@ def adamw(
     betas: Sequence[float] = (0.9, 0.999),
     eps: float = 1e-8,
     weight_decay: float = 0.01,
+    b1_schedule: Optional[Callable] = None,
 ) -> optax.GradientTransformation:
+    if b1_schedule is not None:
+        # same chain optax.adamw compiles to, with the cycled-beta1 core;
+        # state tree stays (ScaleByAdamState, EmptyState, schedule state)
+        return optax.chain(
+            scale_by_adam_b1_schedule(b1_schedule, b2=betas[1], eps=eps),
+            optax.add_decayed_weights(weight_decay),
+            optax.scale_by_learning_rate(lr),
+        )
     return optax.adamw(
         learning_rate=lr, b1=betas[0], b2=betas[1], eps=eps,
         weight_decay=weight_decay,
@@ -90,6 +147,7 @@ def build_optimizer(
     params: Any = None,
     param_dicts: Optional[Sequence[dict]] = None,
     lr_schedule: Optional[Callable] = None,
+    b1_schedule: Optional[Callable] = None,
 ) -> optax.GradientTransformation:
     """Build an optax optimizer from a ``{"type": ...}`` config.
 
@@ -103,18 +161,28 @@ def build_optimizer(
             lr is ``group_lr * factor`` each step. Schedules built by
             ``build_scheduler`` return absolute lrs for the base group and are
             rescaled per group here.
+        b1_schedule: optional step -> beta1 schedule (OneCycleLR momentum
+            cycling, ``scheduler.build_momentum_schedule``); Adam/AdamW only.
     """
     cfg = dict(cfg)
     opt_type = cfg.pop("type")
     if OPTIMIZERS.get(opt_type) is None:
         raise KeyError(f"{opt_type} is not in the optimizers registry")
     base_lr = float(cfg.pop("lr"))
+    if b1_schedule is not None and opt_type not in ("Adam", "AdamW"):
+        log.warning(
+            f"b1_schedule (OneCycleLR momentum cycling) is modeled for "
+            f"Adam/AdamW only; {opt_type} keeps its configured momentum."
+        )
+        b1_schedule = None
 
     def make(lr_value: float, extra: dict) -> optax.GradientTransformation:
         kwargs = dict(cfg)
         kwargs.update(
             {k: v for k, v in extra.items() if k not in ("keyword", "lr")}
         )
+        if b1_schedule is not None:
+            kwargs["b1_schedule"] = b1_schedule
         if lr_schedule is not None:
             scale = lr_value / base_lr if base_lr else 1.0
             lr: ScalarOrSchedule = (

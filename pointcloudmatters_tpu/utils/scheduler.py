@@ -101,26 +101,15 @@ def one_cycle_lr(
     three_phase: bool = False,
 ) -> Schedule:
     """torch ``OneCycleLR`` semantics: initial = max/div, final =
-    initial/final_div, cosine ramp up for ``pct_start`` then anneal."""
-    if cycle_momentum and not getattr(one_cycle_lr, "_warned_momentum", False):
-        # torch's default additionally cycles the optimizer momentum (Adam
-        # beta1 0.95 -> 0.85 and back) alongside the LR. This build keeps
-        # beta1 fixed — implementing the cycle would rebuild every optimizer
-        # through optax.inject_hyperparams and change the opt_state tree
-        # (breaking checkpoint compatibility) for a knob whose effect on the
-        # reference tasks is second-order. Warn (once per process) instead of
-        # silently ignoring it; pass cycle_momentum=False to silence.
-        import logging
+    initial/final_div, cosine ramp up for ``pct_start`` then anneal.
 
-        one_cycle_lr._warned_momentum = True
-        logging.getLogger(__name__).warning(
-            "OneCycleLR: cycle_momentum=True requested (torch default) but "
-            "momentum/beta1 cycling (%.2f<->%.2f) is not modeled — beta1 "
-            "stays at the optimizer's configured value. Training dynamics "
-            "will differ slightly from a torch reference run.",
-            max_momentum, base_momentum,
-        )
-    del cycle_momentum, base_momentum, max_momentum  # not modeled (warned)
+    ``cycle_momentum`` (torch default True) is modeled as a *companion*
+    schedule — see ``build_momentum_schedule`` — which the optimizer builder
+    compiles into Adam's beta1 (torch cycles beta1 ``max_momentum`` ->
+    ``base_momentum`` during warmup and back during the anneal, inverse to
+    the LR). The LR schedule itself ignores the momentum kwargs.
+    """
+    del cycle_momentum, base_momentum, max_momentum  # see build_momentum_schedule
     if three_phase:
         raise NotImplementedError("three_phase OneCycleLR")
     if anneal_strategy != "cos":
@@ -149,6 +138,43 @@ def one_cycle_lr(
             peak, floor, jnp.clip((s - e1) / (e2 - e1), 0.0, 1.0)
         )
         return jnp.where(s <= e1, lr_up, lr_down)
+
+    return schedule
+
+
+def build_momentum_schedule(cfg: dict, total_steps: int) -> Optional[Schedule]:
+    """Companion beta1/momentum schedule for ``OneCycleLR`` with
+    ``cycle_momentum=True`` (the torch default): beta1 anneals
+    ``max_momentum`` -> ``base_momentum`` over the warmup phase and back to
+    ``max_momentum`` over the anneal phase, with the SAME cosine shape and
+    step indexing as the LR (torch ``OneCycleLR.__init__`` momentum phases).
+    Returns ``None`` for every other scheduler type or when
+    ``cycle_momentum=False``.
+    """
+    cfg = dict(cfg)
+    if cfg.get("type") != "OneCycleLR":
+        return None
+    if not cfg.get("cycle_momentum", True):
+        return None
+    if cfg.get("anneal_strategy", "cos") != "cos":
+        raise NotImplementedError("anneal_strategy != 'cos'")
+    pct_start = float(cfg.get("pct_start", 0.3))
+    base_m = float(cfg.get("base_momentum", 0.85))
+    max_m = float(cfg.get("max_momentum", 0.95))
+    # identical phase boundaries to one_cycle_lr above
+    e1 = max(pct_start * float(total_steps) - 1.0, 1.0)
+    e2 = max(float(total_steps) - 1.0, e1 + 1.0)
+
+    def _anneal_cos(start: float, end: float, pct: jnp.ndarray) -> jnp.ndarray:
+        return end + (start - end) / 2.0 * (jnp.cos(jnp.pi * pct) + 1.0)
+
+    def schedule(count) -> jnp.ndarray:
+        s = jnp.asarray(count, jnp.float32)
+        m_up = _anneal_cos(max_m, base_m, jnp.clip(s / e1, 0.0, 1.0))
+        m_down = _anneal_cos(
+            base_m, max_m, jnp.clip((s - e1) / (e2 - e1), 0.0, 1.0)
+        )
+        return jnp.where(s <= e1, m_up, m_down)
 
     return schedule
 

@@ -675,19 +675,22 @@ class TestCropRandomizerParity:
 
 
 # ---------------------------------------------------------------------------
-# Training-dynamics trajectory parity (VERDICT r2 #2): N optimizer steps of
-# the reference implementation (CPU torch) vs our jitted step — same init
-# (ported weights), same data every step, AdamW + OneCycleLR, train-mode
-# BatchNorm, deterministic latent. This closes the compositional seam that
-# per-component parity tests cannot see (BN updates x optimizer x scheduler).
-# Known modeled deviation: our OneCycleLR does not cycle Adam betas
-# (utils/scheduler.py:105), so torch runs with cycle_momentum=False here.
+# Training-dynamics trajectory parity (VERDICT r2 #2, extended to O(200)
+# steps with momentum cycling in r5 per VERDICT r4 #4/#5): N optimizer steps
+# of the reference implementation (CPU torch) vs our jitted step — same init
+# (ported weights), same data every step, AdamW + OneCycleLR with
+# cycle_momentum=True (torch default; our beta1 companion schedule models
+# it), train-mode BatchNorm, deterministic latent. This closes the
+# compositional seam that per-component parity tests cannot see
+# (BN updates x optimizer x scheduler x beta1 cycling), and is the strongest
+# offline proxy for the north-star "matched task success rates".
 # Ref: src/models/maniskill2_act_bc_module.py:64-86,343-367.
 # ---------------------------------------------------------------------------
 
 
 class TestTrainingTrajectoryParity:
-    N_STEPS = 40
+    N_STEPS = 200
+    N_TIGHT = 40  # strict elementwise window before f32 noise accumulates
     LR = 1e-3
     WD = 0.05
 
@@ -695,7 +698,10 @@ class TestTrainingTrajectoryParity:
         import optax
 
         from pointcloudmatters_tpu.utils.optimizer import build_optimizer
-        from pointcloudmatters_tpu.utils.scheduler import build_scheduler
+        from pointcloudmatters_tpu.utils.scheduler import (
+            build_momentum_schedule,
+            build_scheduler,
+        )
 
         ref = _build_ref_actpcd()
         # port at the torch INIT state, before any updates — and deep-copy:
@@ -724,8 +730,7 @@ class TestTrainingTrajectoryParity:
                                 weight_decay=self.WD)
         sched = torch.optim.lr_scheduler.OneCycleLR(
             opt, max_lr=self.LR, total_steps=self.N_STEPS, pct_start=0.1,
-            cycle_momentum=False,
-        )
+        )  # cycle_momentum defaults True: beta1 cycles 0.95 <-> 0.85
         losses_ref = []
         for _ in range(self.N_STEPS):
             out = ref(ref_dict)
@@ -742,13 +747,18 @@ class TestTrainingTrajectoryParity:
         orig_rep = our_act.reparametrize
         our_act.reparametrize = lambda mu, logvar, rng: mu
         try:
-            schedule = build_scheduler(
-                {"type": "OneCycleLR", "max_lr": self.LR, "pct_start": 0.1},
-                self.N_STEPS, self.LR,
+            sched_cfg = {
+                "type": "OneCycleLR", "max_lr": self.LR, "pct_start": 0.1,
+            }
+            schedule = build_scheduler(dict(sched_cfg), self.N_STEPS, self.LR)
+            b1_schedule = build_momentum_schedule(
+                dict(sched_cfg), self.N_STEPS
             )
+            assert b1_schedule is not None
             tx = build_optimizer(
                 {"type": "AdamW", "lr": self.LR, "weight_decay": self.WD},
                 params=params, lr_schedule=schedule,
+                b1_schedule=b1_schedule,
             )
             opt_state = tx.init(params)
             our_batch = {
@@ -784,7 +794,20 @@ class TestTrainingTrajectoryParity:
 
         losses_ref = np.asarray(losses_ref)
         losses_ours = np.asarray(losses_ours)
-        # training must actually progress, and the trajectories must agree
+        # training must actually progress, and the trajectories must agree:
+        # strict elementwise parity over the first N_TIGHT steps (before f32
+        # rounding noise compounds through the recurrence), then a loose
+        # elementwise band plus endpoint agreement over the full horizon
         assert losses_ref[-1] < losses_ref[0] * 0.9
+        np.testing.assert_allclose(
+            losses_ours[: self.N_TIGHT], losses_ref[: self.N_TIGHT],
+            rtol=5e-3, atol=5e-3,
+        )
         np.testing.assert_allclose(losses_ours, losses_ref,
-                                   rtol=5e-3, atol=5e-3)
+                                   rtol=8e-2, atol=8e-2)
+        # converged-floor agreement: measured divergence is ~3.3% after 200
+        # f32 steps (compounding rounding through the optimizer recurrence)
+        np.testing.assert_allclose(
+            np.mean(losses_ours[-20:]), np.mean(losses_ref[-20:]),
+            rtol=5e-2,
+        )

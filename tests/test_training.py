@@ -98,6 +98,72 @@ class TestOptimizer:
         opt.step()
         np.testing.assert_allclose(new_w, tw.detach().numpy(), atol=1e-6)
 
+    def test_onecycle_momentum_cycling_matches_torch(self):
+        """OneCycleLR cycle_momentum=True: torch cycles Adam beta1
+        0.95 <-> 0.85 inverse to the LR. Assert (a) our beta1 schedule
+        tracks torch's installed betas exactly, and (b) the full AdamW
+        parameter trajectory matches torch step-for-step over the cycle."""
+        import torch
+
+        from pointcloudmatters_tpu.utils.scheduler import (
+            build_momentum_schedule,
+        )
+
+        T, lr, wd = 30, 1e-2, 0.1
+        cfg = {"type": "OneCycleLR", "max_lr": lr, "pct_start": 0.3}
+
+        w0 = np.asarray([[1.0, -2.0], [0.5, 3.0]], np.float32)
+        g_base = np.asarray([[0.1, 0.2], [-0.3, 0.4]], np.float32)
+
+        tw = torch.tensor(w0, requires_grad=True)
+        opt = torch.optim.AdamW([tw], lr=lr, weight_decay=wd)
+        sched = torch.optim.lr_scheduler.OneCycleLR(
+            opt, max_lr=lr, total_steps=T, pct_start=0.3,
+        )  # cycle_momentum defaults True
+        torch_b1, torch_w = [], []
+        for t in range(T):
+            torch_b1.append(float(opt.param_groups[0]["betas"][0]))
+            tw.grad = torch.tensor(g_base * (1.0 + 0.1 * t))
+            opt.step()
+            sched.step()
+            torch_w.append(tw.detach().numpy().copy())
+
+        schedule = build_scheduler(cfg, T, lr)
+        b1_schedule = build_momentum_schedule(cfg, T)
+        assert b1_schedule is not None
+        ours_b1 = [float(b1_schedule(t)) for t in range(T)]
+        np.testing.assert_allclose(ours_b1, torch_b1, atol=1e-6)
+        # cycle shape: starts at max_momentum, dips to base at peak-lr step
+        np.testing.assert_allclose(ours_b1[0], 0.95, atol=1e-6)
+        assert min(ours_b1) < 0.852
+
+        tx = build_optimizer(
+            {"type": "AdamW", "lr": lr, "weight_decay": wd},
+            lr_schedule=schedule, b1_schedule=b1_schedule,
+        )
+        params = {"w": jnp.asarray(w0)}
+        state = tx.init(params)
+        import optax
+
+        for t in range(T):
+            grads = {"w": jnp.asarray(g_base * (1.0 + 0.1 * t))}
+            updates, state = tx.update(grads, state, params)
+            params = optax.apply_updates(params, updates)
+            np.testing.assert_allclose(
+                np.asarray(params["w"]), torch_w[t], atol=2e-6,
+                err_msg=f"step {t}",
+            )
+
+    def test_momentum_schedule_none_for_other_schedulers(self):
+        from pointcloudmatters_tpu.utils.scheduler import (
+            build_momentum_schedule,
+        )
+
+        assert build_momentum_schedule(
+            {"type": "CosineAnnealingLR"}, 100) is None
+        assert build_momentum_schedule(
+            {"type": "OneCycleLR", "cycle_momentum": False}, 100) is None
+
     def test_adam_coupled_l2_matches_torch(self):
         import torch
 
@@ -278,6 +344,66 @@ class TestTrainerFit:
         model.train_metrics.update = record
         trainer.fit(model, datamodule=dm)
         assert np.mean(losses[-3:]) < np.mean(losses[:3]), losses
+
+
+class TestStochasticWeightAveraging:
+    def test_swa_averages_and_swaps_weights(self, tmp_path):
+        """SWA callback (reference
+        configs/callbacks/stochastic_weight_averaging.yaml): composes from
+        config, averages epoch-end weights from swa_epoch_start, swaps the
+        average in at fit end with refreshed BN stats, and the model still
+        evaluates finitely on the averaged weights."""
+        from pointcloudmatters_tpu.utils import config as C
+        from pointcloudmatters_tpu.utils.utils import instantiate_callbacks
+
+        data_file = _make_data(tmp_path)
+        cfg = _compose(
+            tmp_path, data_file,
+            extra=[
+                "callbacks=stochastic_weight_averaging",
+                "callbacks.stochastic_weight_averaging.swa_lrs=0.0005",
+                "callbacks.stochastic_weight_averaging.swa_epoch_start=0.5",
+                "callbacks.stochastic_weight_averaging.annealing_epochs=1",
+                "trainer.max_epochs=4",
+                "trainer.limit_train_batches=2",
+                "trainer.check_val_every_n_epoch=0",
+                "trainer.num_sanity_val_steps=0",
+                "logger=null",
+            ],
+        )
+        dm = C.instantiate(cfg.data)
+        model = C.instantiate(cfg.model)
+        callbacks = instantiate_callbacks(cfg.get("callbacks"))
+        swa = next(
+            cb for cb in callbacks
+            if type(cb).__name__ == "StochasticWeightAveraging"
+        )
+        trainer = C.instantiate(cfg.trainer, callbacks=callbacks, logger=None)
+        trainer.fit(model, datamodule=dm)
+
+        # epochs 2 and 3 (start = 0.5 * 4) entered the average
+        assert swa.n_averaged == 2
+        # fit-end state carries the averaged parameters
+        final = jax.tree.leaves(trainer.state.params)
+        avg = jax.tree.leaves(swa._avg)
+        for f, a in zip(final, avg):
+            np.testing.assert_array_equal(np.asarray(f), np.asarray(a))
+        assert all(np.all(np.isfinite(np.asarray(x))) for x in final)
+        # refreshed BN stats are finite
+        for leaf in jax.tree.leaves(trainer.state.batch_stats):
+            assert np.all(np.isfinite(np.asarray(leaf)))
+        # the SWALR wrap replaced the post-start LR: at the final step the lr
+        # should sit at swa_lrs (annealing_epochs=1 completes before the end)
+        lr_end = float(trainer._schedule(trainer.estimated_stepping_batches))
+        np.testing.assert_allclose(lr_end, 0.0005, rtol=1e-5)
+        # averaged weights still drive a finite eval forward pass
+        batch = next(iter(dm.train_dataloader()))
+        out = model.apply_eval(
+            {"params": trainer.state.params,
+             "batch_stats": trainer.state.batch_stats},
+            trainer.shard_batch(batch),
+        )
+        assert np.isfinite(float(out["loss"]))
 
 
 class TestRolloutValidation:
