@@ -62,7 +62,8 @@ def run_kernel_tests() -> str:
 
     proc = subprocess.run(
         [sys.executable, "-m", "pytest", "tests/test_pallas_kernels.py",
-         "tests/test_flash_attention.py", "-q", "--no-header", "-x"],
+         "tests/test_flash_attention.py", "tests/test_fused_builder_tpu.py",
+         "tests/test_fused_mha_tpu.py", "-q", "--no-header", "-x"],
         capture_output=True, text=True,
         cwd=os.path.dirname(os.path.abspath(__file__)),
         env={**os.environ, "PCM_TEST_TPU": "1"},

@@ -302,7 +302,8 @@ class ACTPCD(ACT):
             return jnp.concatenate([fg_idx, bg_idx], axis=1)
         return fg_idx
 
-    def pcd_sampling(self, coord, feat, valid, fg_mask=None, train=False):
+    def pcd_sampling(self, coord, feat, valid, fg_mask=None, train=False,
+                     feat_is_data=False):
         """Returns (new_xyz (B,m,3), tokens (B,m,proj_dim), idx (B,m)).
 
         The reference projects the gathered ``(m, k, 3 + C)`` neighborhoods
@@ -316,15 +317,36 @@ class ACTPCD(ACT):
         copy cuts the dominant matmul M*K/N-fold (3.2x at the flagship
         shapes). The gather→BN→ReLU→max tail then runs through the fused
         ``GroupedBNReluMax`` (bit-exact — see its docstring), so the
-        (B, m, k, D) neighborhood tensor never reaches HBM.
+        (B, m, k, D) neighborhood tensor never reaches HBM. On TPU under
+        mixed precision the tail routes through the Pallas fused-builder
+        kernels (``ops/fused_builder.py``); ``feat_is_data=True`` (raw
+        ``pre_sample`` clouds, frozen backbones) additionally selects the
+        scatter-free backward.
         """
         idx = self._fps_indices(coord, valid, fg_mask)
         new_xyz = jnp.take_along_axis(coord, idx[..., None], axis=1)
         nn_idx, _ = knn_query_padded(new_xyz, coord, valid, self.pcd_nsample)
         zeros_f = jnp.zeros(new_xyz.shape[:-1] + (feat.shape[-1],), feat.dtype)
-        g = self.pcd_linear(jnp.concatenate([coord, feat], axis=-1))  # (B,N,D)
-        h = self.pcd_linear(jnp.concatenate([new_xyz, zeros_f], axis=-1))
-        x = self.pcd_bn(g, h, nn_idx, use_running_average=not train)
+        src_cat = jnp.concatenate([coord, feat], axis=-1)
+        query_cat = jnp.concatenate([new_xyz, zeros_f], axis=-1)
+        h = self.pcd_linear(query_cat)
+        # The Pallas fused builder only wins when the source rows are data
+        # (its backward is scatter-free); with learned per-point features
+        # the dense-dg scatter is the floor and XLA autodiff already sits
+        # on it (measured: PERF.md round 5), so that path stays unfused.
+        impl = GroupedBNReluMax.resolve_impl(
+            coord.shape[1], nn_idx.shape[1], nn_idx.shape[2], h.shape[-1],
+            h.dtype,
+        ) if feat_is_data else "xla"
+        if impl == "fused":
+            W = self.pcd_linear.variables["params"]["kernel"].astype(h.dtype)
+            x = self.pcd_bn(
+                None, h, nn_idx, use_running_average=not train,
+                src=jax.lax.stop_gradient(src_cat), W=W, impl="fused_data",
+            )
+        else:
+            g = self.pcd_linear(src_cat)  # (B, N, D)
+            x = self.pcd_bn(g, h, nn_idx, use_running_average=not train)
         return new_xyz, x, idx
 
     def forward_pcd_embed(self, pcd_dict: dict, train: bool):
@@ -334,7 +356,8 @@ class ACTPCD(ACT):
 
         if self.pre_sample:
             new_xyz, feat, idx = self.pcd_sampling(
-                coord, pcd_dict["feat"], valid, fg_mask, train=train
+                coord, pcd_dict["feat"], valid, fg_mask, train=train,
+                feat_is_data=True,  # raw dataset cloud, no grad needed
             )
             sampled = dict(
                 pcd_dict,
@@ -353,7 +376,8 @@ class ACTPCD(ACT):
             if self.freeze_backbone:
                 features = jax.lax.stop_gradient(features)
             coords_out, features, _ = self.pcd_sampling(
-                coord, features, valid, fg_mask, train=train
+                coord, features, valid, fg_mask, train=train,
+                feat_is_data=self.freeze_backbone,
             )
 
         pcd_pos = coord_embedding_sine(coords_out, self.hidden_dim)

@@ -170,20 +170,65 @@ class GroupedBNReluMax(nn.Module):
     eps: float = 1e-5
     axis_name: Optional[str] = None
 
+    @staticmethod
+    def resolve_impl(n: int, m: int, k: int, d: int, dtype) -> str:
+        """Pick the builder implementation: the Pallas fused path
+        (``ops/fused_builder.py``) needs a TPU backend, bf16 activations
+        (mixed precision — the packed kernel is bf16-native, so using it
+        under f32-true would silently change precision), and supported
+        shapes. ``PCM_BUILDER_IMPL=xla|fused`` overrides."""
+        import os
+
+        from pointcloudmatters_tpu.ops.fused_builder import (
+            fused_builder_supported,
+        )
+
+        forced = os.environ.get("PCM_BUILDER_IMPL", "auto")
+        if forced == "xla":
+            return "xla"
+        ok = (
+            jax.default_backend() == "tpu"
+            and dtype == jnp.bfloat16
+            and fused_builder_supported(n, m, k, d)
+        )
+        if forced == "fused":
+            if not ok:
+                raise ValueError(
+                    f"PCM_BUILDER_IMPL=fused but shapes/backend unsupported: "
+                    f"N={n} M={m} K={k} D={d} dtype={dtype} "
+                    f"backend={jax.default_backend()}"
+                )
+            return "fused"
+        return "fused" if ok else "xla"
+
     @nn.compact
     def __call__(
         self,
-        g: jax.Array,
+        g: Optional[jax.Array],
         h: jax.Array,
         nn_idx: jax.Array,
         use_running_average: bool = True,
+        *,
+        src: Optional[jax.Array] = None,
+        W: Optional[jax.Array] = None,
+        impl: str = "xla",
     ) -> jax.Array:
         """g: (B, N, D) projected source rows; h: (B, M, D) projected query
         offsets; nn_idx: (B, M, K) int32 into N, -1 = hole. Returns the
-        (B, M, D) pooled tokens."""
+        (B, M, D) pooled tokens.
+
+        ``impl`` selects the builder core:
+          * ``"xla"`` — the original fused-reformulation XLA chain.
+          * ``"fused_core"`` — Pallas forward (``grouped_stats_core``),
+            dense-``dg`` backward; for learned per-point features.
+          * ``"fused_data"`` — Pallas forward + scatter-free dW/dh backward
+            (``grouped_stats_data``); requires ``src`` (the un-projected
+            data rows, stop-gradiented) and ``W`` (the projection kernel),
+            and ``g`` may be None (the op computes src @ W itself).
+        """
         from pointcloudmatters_tpu.ops.pointops import gather_rows_padded
 
-        features = g.shape[-1]
+        features = h.shape[-1]
         ra_mean = self.variable(
             "batch_stats", "mean", lambda: jnp.zeros((features,), jnp.float32)
         )
@@ -193,13 +238,32 @@ class GroupedBNReluMax(nn.Module):
         scale = self.param("scale", nn.initializers.ones, (features,), jnp.float32)
         bias = self.param("bias", nn.initializers.zeros, (features,), jnp.float32)
 
-        hole = (nn_idx < 0)[..., None]  # (B, M, K, 1)
-        gg = gather_rows_padded(g, nn_idx)  # (B, M, K, D) — fused, not stored
-        x = gg - h[:, :, None, :]
-        neg_inf = jnp.asarray(-jnp.inf, x.dtype)
-        pos_inf = jnp.asarray(jnp.inf, x.dtype)
-        vmax = jnp.max(jnp.where(hole, neg_inf, x), axis=2)  # (B, M, D)
-        vmin = jnp.min(jnp.where(hole, pos_inf, x), axis=2)
+        if impl == "fused_core":
+            from pointcloudmatters_tpu.ops.fused_builder import (
+                grouped_stats_core,
+            )
+
+            vmax, vmin, total, total_sq = grouped_stats_core(g, h, nn_idx)
+        elif impl == "fused_data":
+            from pointcloudmatters_tpu.ops.fused_builder import (
+                grouped_stats_data,
+            )
+
+            vmax, vmin, total, total_sq = grouped_stats_data(
+                src, W, h, nn_idx
+            )
+        else:
+            hole = (nn_idx < 0)[..., None]  # (B, M, K, 1)
+            gg = gather_rows_padded(g, nn_idx)  # (B, M, K, D) — not stored
+            x = gg - h[:, :, None, :]
+            neg_inf = jnp.asarray(-jnp.inf, x.dtype)
+            pos_inf = jnp.asarray(jnp.inf, x.dtype)
+            vmax = jnp.max(jnp.where(hole, neg_inf, x), axis=2)  # (B, M, D)
+            vmin = jnp.min(jnp.where(hole, pos_inf, x), axis=2)
+            xz = jnp.where(hole, 0.0, x)
+            total = jnp.sum(xz, axis=(0, 1, 2), dtype=jnp.float32)
+            total_sq = jnp.sum(xz * xz, axis=(0, 1, 2), dtype=jnp.float32)
+
         any_hole = jnp.any(nn_idx < 0, axis=2)[..., None]  # (B, M, 1)
         xmax = jnp.where(any_hole, jnp.maximum(vmax, 0.0), vmax)
         xmin = jnp.where(any_hole, jnp.minimum(vmin, 0.0), vmin)
@@ -207,10 +271,7 @@ class GroupedBNReluMax(nn.Module):
         if use_running_average:
             mean, var = ra_mean.value, ra_var.value
         else:
-            xz = jnp.where(hole, 0.0, x)
             count = jnp.asarray(np.prod(nn_idx.shape), jnp.float32)
-            total = jnp.sum(xz, axis=(0, 1, 2), dtype=jnp.float32)
-            total_sq = jnp.sum(xz * xz, axis=(0, 1, 2), dtype=jnp.float32)
             if self.axis_name is not None:
                 total = jax.lax.psum(total, self.axis_name)
                 total_sq = jax.lax.psum(total_sq, self.axis_name)
@@ -227,10 +288,12 @@ class GroupedBNReluMax(nn.Module):
                     (1.0 - self.momentum) * ra_var.value + self.momentum * unbiased
                 )
 
+        out_dtype = h.dtype
         eff_scale = scale * jax.lax.rsqrt(var + self.eps)
-        eff_bias = (bias - mean * eff_scale).astype(x.dtype)
-        eff_scale = eff_scale.astype(x.dtype)
-        sel = jnp.where(eff_scale >= 0, xmax, xmin)
+        eff_bias = (bias - mean * eff_scale).astype(out_dtype)
+        eff_scale = eff_scale.astype(out_dtype)
+        sel = jnp.where(eff_scale >= 0, xmax.astype(out_dtype),
+                        xmin.astype(out_dtype))
         return jax.nn.relu(sel * eff_scale + eff_bias)
 
 

@@ -17,21 +17,28 @@ the flagship shape; XLA's gather+scatter over it measures 72.7 ms/step —
 PERF.md).
 
 Forward design (Pallas, TPU):
-  * ``g`` is stored bf16-pair-packed into f32 lanes — channels (2r, 2r+1)
-    share one 32-bit word, which is exactly Mosaic's native bf16 sublane
-    packing, so an in-kernel ``pltpu.bitcast`` to bf16 is a free
-    reinterpretation (verified on-chip: scripts/probe_mosaic_r5d.py).
-    Packed ``g`` for one batch item is (N/128, D/2, 128) f32 = 10.5 MB at
-    N=10240, D=512 — VMEM-resident across the whole query grid.
+  * ``g`` is bf16-rounded, then chunk-transposed to (N/128, D, 128) f32 by
+    an MXU identity matmul (``_chunk_transpose`` — 1.5 ms where XLA's
+    vector transpose measures 8+; values stay exactly bf16-representable,
+    so the in-kernel bf16 casts are lossless and the arithmetic matches
+    the unfused chain bit-for-bit). The per-item block (21 MB at N=10240,
+    D=512) stays VMEM-resident across the whole query grid (v5e has
+    headroom past the default 16 MB scoped cap).
   * Queries are sorted by their first kNN index (a Morton-locality proxy:
     the cloud itself is Morton-ordered by the collate), so a block of 128
-    queries' 128*K neighbor indices touch ~23 of the 80 point-chunks
+    queries' 128*K neighbor indices touch ~21 of the 80 point-chunks
     instead of ~67 (scripts/study_builder_locality.py).
   * A data-dependent ``while_loop`` visits exactly the chunks the block
     needs: the next chunk is the min over not-yet-gathered index chunks
     (a vector-reduce-to-``pl.ds``-scalar pattern this toolchain now
     compiles — round-5 probe), and each visit gathers with a 128-lane
-    ``take_along_axis`` per k-tile.
+    ``take_along_axis`` per k-tile merged by a write-only masked store.
+
+PERF.md records where this lands: the forward is ~2x slower than XLA's
+streaming gather (Mosaic per-gather overhead binds), so the fused path
+pays off only through its scatter-free backward — it is the default for
+data-source call sites (``grouped_stats_data``) and a measured loss for
+learned-feature ones (``grouped_stats_core``, kept as an opt-in).
 
 Backward design (scatter-free):
   Both ``g`` and ``h`` are linear projections of *data* (``src`` is the
@@ -60,7 +67,7 @@ Backward design (scatter-free):
   ``reduce_max`` VJP (verified: scripts/probe_mosaic_r5d.py), which also
   covers the reference's repeated-neighbor padding quirk.
 
-``grouped_builder_stats`` wraps all of this in a ``jax.custom_vjp`` whose
+``grouped_stats_data`` wraps all of this in a ``jax.custom_vjp`` whose
 ``src``/``query`` cotangents are defined as zero — call sites must treat
 them as data (the ACT/DP call sites apply ``stop_gradient``; coords and
 features are dataset tensors in every reference config).
@@ -95,16 +102,15 @@ def fused_builder_supported(n: int, m: int, k: int, d: int) -> bool:
     if k > 16 or d % 16 != 0 or d < 128:
         return False
     c = -(-n // _LANES)
-    resident = c * (d // 2) * _LANES * 4
-    return resident <= 11 * 2**20
+    resident = c * d * _LANES * 4  # f32 chunk-transposed g
+    return resident <= 24 * 2**20
 
 
 # ---------------------------------------------------------------------------
 # Forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(idx_ref, ht_ref, gp_ref, vmax_ref, vmin_ref, sg_ref, bm_ref,
-                sums_ref, G_ref, *, K: int, Dp: int):
-    D = 2 * Dp
+                sums_ref, G_ref, *, K: int, D: int):
     m = pl.program_id(1)
 
     @pl.when(m == 0)
@@ -113,40 +119,42 @@ def _fwd_kernel(idx_ref, ht_ref, gp_ref, vmax_ref, vmin_ref, sg_ref, bm_ref,
 
     idx = idx_ref[0]  # (K, 128) int32, -1 = hole
     hole = idx < 0
+    G_ref[...] = jnp.zeros_like(G_ref)  # holes stay exact zero (sg needs it)
 
-    # Per-tile gather loops with the accumulator carried in vector registers
-    # (a (Dp, 128) f32 carry = 32 vregs): the earlier shared-loop design
-    # paid a VMEM read-modify-write on G_ref per (tile, visit), which
-    # measured ~2x slower than XLA's gather at the flagship shape. Each
-    # tile's loop visits exactly the chunks its own 128 indices touch
-    # (min-anchored, data-dependent trip count); holes never match a chunk,
-    # so their lanes stay exact zero (sg relies on that).
-    for k in range(K):
-        row = idx[k:k + 1]  # (1, 128)
-        st0 = jnp.where(row < 0, _BIG, row >> 7)
+    # One shared min-anchored loop over the union of chunks the block's
+    # K*128 indices touch; per (tile, visit) the merge is a write-only
+    # MASKED store (each lane is written exactly once — by its own chunk's
+    # visit), not a VMEM read-modify-write: the on-chip microbench
+    # (scripts/bench_taa_prims.py) shows the loop iteration and the gather
+    # itself are ~100 cycles while a read-select-write merge triples that.
+    def cond(carry):
+        return carry[0] < _BIG
 
-        def cond(carry):
-            return carry[0] < _BIG
-
-        def body(carry, row=row):
-            c, st, acc = carry
-            win = gp_ref[0, c]  # (Dp, 128) f32 (packed bf16 pairs)
-            rel = jnp.clip(row - c * _LANES, 0, _LANES - 1)
+    def body(carry):
+        c, st = carry
+        win = gp_ref[0, c]  # (D, 128) f32 (bf16-exact values)
+        base = c * _LANES
+        for k in range(K):
+            row = idx[k:k + 1]  # (1, 128)
+            rel = jnp.clip(row - base, 0, _LANES - 1)
             inw = (row >> 7) == c
             got = jnp.take_along_axis(
-                win, jnp.broadcast_to(rel, (Dp, _LANES)), axis=1
+                win, jnp.broadcast_to(rel, (D, _LANES)), axis=1
             )
-            acc = jnp.where(jnp.broadcast_to(inw, (Dp, _LANES)), got, acc)
-            st = jnp.where(st == c, _BIG, st)
-            return (jnp.min(st), st, acc)
+            pltpu.store(
+                G_ref.at[k], got,
+                mask=jnp.broadcast_to(inw, (D, _LANES)),
+            )
+        st = jnp.where(st == c, _BIG, st)
+        return (jnp.min(st), st)
 
-        _, _, acc = lax.while_loop(
-            cond, body,
-            (jnp.min(st0), st0, jnp.zeros((Dp, _LANES), jnp.float32)),
-        )
-        G_ref[k] = acc
+    st0 = jnp.where(hole, _BIG, idx >> 7)
+    lax.while_loop(cond, body, (jnp.min(st0), st0))
 
-    h = ht_ref[0]  # (D, 128) bf16
+    # g/h arrive as f32 holding exactly-bf16 values (rounded before the
+    # MXU chunk-transpose), so the bf16 casts below are lossless and the
+    # bf16 subtract reproduces the unfused path bit-for-bit.
+    h = ht_ref[0, 0].astype(jnp.bfloat16)  # (D, 128)
     neg = jnp.asarray(-jnp.inf, jnp.bfloat16)
     pos = jnp.asarray(jnp.inf, jnp.bfloat16)
     vmax = jnp.full((D, _LANES), neg)
@@ -154,22 +162,23 @@ def _fwd_kernel(idx_ref, ht_ref, gp_ref, vmax_ref, vmin_ref, sg_ref, bm_ref,
     sg = jnp.zeros((D, _LANES), jnp.float32)
     tot = jnp.zeros((D, _LANES), jnp.float32)
     tot2 = jnp.zeros((D, _LANES), jnp.float32)
+    xks = []
     for k in range(K):
-        gk = pltpu.bitcast(G_ref[k], jnp.bfloat16)  # (D, 128) bf16
+        gk = G_ref[k].astype(jnp.bfloat16)  # (D, 128), lossless
         xk = gk - h
+        xks.append(xk)
         hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
         vmax = jnp.maximum(vmax, jnp.where(hk, neg, xk))
         vmin = jnp.minimum(vmin, jnp.where(hk, pos, xk))
-        sg = sg + gk.astype(jnp.float32)
+        sg = sg + G_ref[k]
         xz = jnp.where(hk, jnp.bfloat16(0), xk).astype(jnp.float32)
         tot = tot + xz
         tot2 = tot2 + xz * xz
     bm = jnp.zeros((D, _LANES), jnp.int32)
-    vmax32 = vmax.astype(jnp.float32)  # bf16 cmp is unsupported in the
-    vmin32 = vmin.astype(jnp.float32)  # packed layout; f32 eq is exact
+    vmax32 = vmax.astype(jnp.float32)  # bf16 cmp miscompiles in the 2-packed
+    vmin32 = vmin.astype(jnp.float32)  # layout; f32 eq is exact
     for k in range(K):
-        gk = pltpu.bitcast(G_ref[k], jnp.bfloat16)
-        xk32 = (gk - h).astype(jnp.float32)
+        xk32 = xks[k].astype(jnp.float32)
         hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
         live = jnp.logical_not(hk)
         bit_max = jnp.int32(1) << jnp.int32(k)
@@ -185,14 +194,21 @@ def _fwd_kernel(idx_ref, ht_ref, gp_ref, vmax_ref, vmin_ref, sg_ref, bm_ref,
     sums_ref[0, 1] = sums_ref[0, 1] + tot2
 
 
-def _pack_g(g: jax.Array) -> jax.Array:
-    """(B, N, D) bf16 -> (B, N/128, D/2, 128) f32 with adjacent-pair packing
-    (channels 2r, 2r+1 share one f32 word — Mosaic's native bf16 layout)."""
-    B, N, D = g.shape
-    packed = lax.bitcast_convert_type(
-        g.reshape(B, N, D // 2, 2), jnp.float32
-    )  # (B, N, D/2)
-    return packed.reshape(B, N // _LANES, _LANES, D // 2).transpose(0, 1, 3, 2)
+def _chunk_transpose(x: jax.Array) -> jax.Array:
+    """(B, T, D) bf16 -> (B, T/128, D, 128) f32 via an MXU identity matmul.
+
+    XLA's vector transpose of this layout measures 8+ ms at the flagship
+    shape; contracting each 128-row chunk against a 128x128 identity makes
+    the MXU emit the transposed blocks at memory speed (~2 ms). bf16 inputs
+    with f32 accumulation keep every value exactly representable, so the
+    result is the bit-exact transpose.
+    """
+    B, T, D = x.shape
+    eye = jnp.eye(_LANES, dtype=jnp.bfloat16)
+    return jnp.einsum(
+        "bcjd,jl->bcdl", x.reshape(B, T // _LANES, _LANES, D), eye,
+        preferred_element_type=jnp.float32,
+    )
 
 
 def _core_pallas(g, h_s, nn_s):
@@ -201,24 +217,23 @@ def _core_pallas(g, h_s, nn_s):
     total, total_sq) with the first four (B,M,D)-natural."""
     B, N, D = g.shape
     M, K = nn_s.shape[1], nn_s.shape[2]
-    Dp = D // 2
     pad_n = (-N) % _LANES
     if pad_n:
         g = jnp.pad(g, ((0, 0), (0, pad_n), (0, 0)))
-    gp = _pack_g(g)
-    ht = h_s.astype(jnp.bfloat16).transpose(0, 2, 1)  # (B, D, M)
+    gp = _chunk_transpose(g.astype(jnp.bfloat16))  # (B, C, D, 128) f32
+    ht = _chunk_transpose(h_s.astype(jnp.bfloat16))  # (B, M/128, D, 128) f32
     nn_t = nn_s.transpose(0, 2, 1)  # (B, K, M)
 
     grid = (B, M // _LANES)
-    kernel = functools.partial(_fwd_kernel, K=K, Dp=Dp)
+    kernel = functools.partial(_fwd_kernel, K=K, D=D)
     vmax_t, vmin_t, sg_t, bm_t, sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, K, _LANES), lambda b, m: (b, 0, m)),
-            pl.BlockSpec((1, D, _LANES), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, 1, D, _LANES), lambda b, m: (b, m, 0, 0)),
             pl.BlockSpec(
-                (1, gp.shape[1], Dp, _LANES), lambda b, m: (b, 0, 0, 0)
+                (1, gp.shape[1], D, _LANES), lambda b, m: (b, 0, 0, 0)
             ),
         ],
         out_specs=[
@@ -236,19 +251,31 @@ def _core_pallas(g, h_s, nn_s):
             jax.ShapeDtypeStruct((B, 2, D, _LANES), jnp.float32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((K, Dp, _LANES), jnp.float32),
+            pltpu.VMEM((K, D, _LANES), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            # resident packed g + blocked outputs exceed the default 16 MB
+            # resident g + blocked outputs exceed the default 16 MB
             # scoped-vmem cap; v5e has headroom beyond it (same as fused_mha)
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
     )(nn_t, ht, gp)
     total = jnp.sum(sums[:, 0], axis=(0, -1))
     total_sq = jnp.sum(sums[:, 1], axis=(0, -1))
-    tr = lambda t: t.transpose(0, 2, 1)  # (B,D,M) -> (B,M,D)
-    return tr(vmax_t), tr(vmin_t), tr(sg_t), tr(bm_t), total, total_sq
+
+    def tr(t):  # (B, D, M) -> (B, M, D)
+        return t.transpose(0, 2, 1)
+
+    def tr_mxu(t):  # MXU identity transpose — finite bf16 values only
+        # (a +/-inf entry would poison the f32 accumulation via 0*inf)
+        eye = jnp.eye(D, dtype=jnp.bfloat16)
+        out = jnp.einsum(
+            "bdcl,dx->bclx", t.reshape(B, D, M // _LANES, _LANES),
+            eye, preferred_element_type=jnp.float32,
+        )
+        return out.reshape(B, M, D).astype(t.dtype)
+
+    return tr(vmax_t), tr(vmin_t), tr_mxu(sg_t), tr(bm_t), total, total_sq
 
 
 def _core_xla(g, h_s, nn_s):
@@ -383,27 +410,32 @@ def _sort_queries(nn_idx: jax.Array):
 
 
 def _take_q(t: jax.Array, order: jax.Array) -> jax.Array:
-    """Permute axis 1 of (B, M, ...) by per-batch ``order``."""
-    return jnp.take_along_axis(
-        t, order.reshape(order.shape + (1,) * (t.ndim - 2)), axis=1
-    )
+    """Permute axis 1 of (B, M, ...) by per-batch ``order``.
+
+    Uses the flattened-batch single-gather trick (same rationale as
+    ``gather_rows_padded``): the batched-gather HLO that take_along_axis
+    emits measures ~4x slower on v5e for these row widths."""
+    B, M = order.shape
+    off = (jnp.arange(B, dtype=jnp.int32) * M)[:, None]
+    flat = t.reshape((B * M,) + t.shape[2:])
+    return jnp.take(flat, (order + off).reshape(-1), axis=0,
+                    mode="clip").reshape(t.shape)
 
 
-def _builder_fwd_impl(src, query, W, nn_idx, impl):
+def _builder_fwd_impl(src, W, h, nn_idx, impl):
     g = src @ W  # (B, N, D)
-    h = query @ W  # (B, M, D)
     if impl == "pallas":  # the packed kernel is bf16-native
         g = g.astype(jnp.bfloat16)
         h = h.astype(jnp.bfloat16)
         vmax, vmin, sg, bm, total, total_sq = _sorted_core(g, h, nn_idx)
     else:
         vmax, vmin, sg, bm, total, total_sq = _core_xla(g, h, nn_idx)
-    return vmax, vmin, sg, bm, total, total_sq, g, h
+    return vmax, vmin, sg, bm, total, total_sq, g
 
 
-def _builder_bwd_impl(src, query, W, nn_idx, g, h, sg, bm,
+def _builder_bwd_impl(src, W, h, nn_idx, g, sg, bm,
                       dvmax, dvmin, dtot, dts, impl):
-    """Shared backward math; returns dW (Cin, D) f32."""
+    """Shared backward math; returns (dW (Cin, D), dh (B, M, D)) f32."""
     from pointcloudmatters_tpu.ops.pointops import gather_rows_padded
 
     B, M, K = nn_idx.shape
@@ -466,42 +498,43 @@ def _builder_bwd_impl(src, query, W, nn_idx, g, h, sg, bm,
     # (4) d_total term
     dw_tot = jnp.sum(s, axis=(0, 1))[:, None] * dtot[None, :]
 
-    # (5) dh through h = query @ W
+    # dh is returned as a real cotangent; the query-side dW contribution
+    # (query^T dh) then flows through the caller's own h = query @ W matmul
+    # under ordinary autodiff.
     dh = -(has * (dvmax.astype(f32) + dvmin.astype(f32))
            + kv * dtot[None, None, :]
            + 2.0 * dts[None, None, :]
            * (sg.astype(f32) - kv * h.astype(f32)))
-    dw_query = jnp.einsum("bmi,bmd->id", query.astype(f32), dh)
 
-    dW = dw_routed + dw_g + dw_h_stats + dw_tot + dw_query
-    return dW.astype(W.dtype)
+    dW = dw_routed + dw_g + dw_h_stats + dw_tot
+    return dW.astype(W.dtype), dh.astype(h.dtype)
 
 
 def _make_builder(impl: str):
     @jax.custom_vjp
-    def builder(src, query, W, nn_idx):
-        vmax, vmin, sg, bm, total, total_sq, _, _ = _builder_fwd_impl(
-            src, query, W, nn_idx, impl
+    def builder(src, W, h, nn_idx):
+        vmax, vmin, sg, bm, total, total_sq, _ = _builder_fwd_impl(
+            src, W, h, nn_idx, impl
         )
         return vmax, vmin, total, total_sq
 
-    def fwd(src, query, W, nn_idx):
-        vmax, vmin, sg, bm, total, total_sq, g, h = _builder_fwd_impl(
-            src, query, W, nn_idx, impl
+    def fwd(src, W, h, nn_idx):
+        vmax, vmin, sg, bm, total, total_sq, g = _builder_fwd_impl(
+            src, W, h, nn_idx, impl
         )
         return (vmax, vmin, total, total_sq), (
-            src, query, W, nn_idx, g, h, sg, bm
+            src, W, h, nn_idx, g, sg, bm
         )
 
     def bwd(res, cots):
-        src, query, W, nn_idx, g, h, sg, bm = res
+        src, W, h, nn_idx, g, sg, bm = res
         dvmax, dvmin, dtot, dts = cots
-        dW = _builder_bwd_impl(
-            src, query, W, nn_idx, g, h, sg, bm,
+        dW, dh = _builder_bwd_impl(
+            src, W, h, nn_idx, g, sg, bm,
             dvmax, dvmin, dtot.astype(jnp.float32),
             dts.astype(jnp.float32), impl,
         )
-        return (jnp.zeros_like(src), jnp.zeros_like(query), dW, None)
+        return (jnp.zeros_like(src), dW, dh, None)
 
     builder.defvjp(fwd, bwd)
     return builder
@@ -541,7 +574,7 @@ def _multiplicity(nn_idx, n: int):
 def _make_core(impl: str):
     """Universal fused-forward builder on the (g, h, nn_idx) boundary.
 
-    Unlike ``grouped_builder_stats`` (which is only valid when the projected
+    Unlike ``grouped_stats_data`` (which is only valid when the projected
     inputs are data), this returns a REAL dense ``dg`` — required whenever
     ``g`` carries learned per-point features (the flagship's unfrozen
     PointNet path, `act/act.py:352-357`). The backward is gather-free: the
@@ -588,13 +621,17 @@ def _make_core(impl: str):
         tbm = ((bm[:, :, None, :] >> karange) & 1).astype(f32)
         tbn = ((bm[:, :, None, :] >> (karange + 16)) & 1).astype(f32)
         # scattered values: tie routing + dtot - 2*dts*h[m] (the g-part of
-        # the 2*x*dts term is added below via the multiplicity histogram)
+        # the 2*x*dts term is added below via the multiplicity histogram);
+        # values and accumulation in g.dtype — the dtype plain autodiff
+        # would scatter dg in — which also halves the scatter bandwidth
+        # under mixed precision
         v = (tbm * dvx[:, :, None, :] + tbn * dvn[:, :, None, :]
              + dtot[None, None, None, :]
              - 2.0 * dts[None, None, None, :] * h.astype(f32)[:, :, None, :])
         dg = _flat_scatter_add(
-            jnp.zeros(g.shape, f32), nn_idx, v, hole
-        )
+            jnp.zeros(g.shape, g.dtype), nn_idx,
+            v.astype(g.dtype), hole,
+        ).astype(f32)
         r = _multiplicity(nn_idx, g.shape[1])  # (B, N)
         dg = dg + 2.0 * dts[None, None, :] * r[..., None] * g.astype(f32)
 
@@ -640,21 +677,25 @@ def grouped_stats_core(g, h, nn_idx, impl: str = "pallas"):
     g (B, N, D), h (B, M, D), nn_idx (B, M, K) int32 (-1 = hole) ->
     (vmax, vmin, total, total_sq) for x = g[nn] - h. Use this boundary when
     ``g``/``h`` carry gradients (learned per-point features); use
-    ``grouped_builder_stats`` when they are projections of pure data (its
+    ``grouped_stats_data`` when they are projections of pure data (its
     backward then avoids the dense scatter entirely).
     """
     return _CORES[impl](g, h, nn_idx)
 
 
-def grouped_builder_stats(src, query, W, nn_idx, impl: str = "pallas"):
-    """Fused token-builder statistics with a scatter-free dW-only backward.
+def grouped_stats_data(src, W, h, nn_idx, impl: str = "pallas"):
+    """Fused token-builder statistics with a scatter-free backward.
 
-    src (B, N, Cin), query (B, M, Cin), W (Cin, D), nn_idx (B, M, K) int32
-    (-1 = hole) -> (vmax (B,M,D) bf16, vmin (B,M,D) bf16, total (D,) f32,
-    total_sq (D,) f32) for x = (src@W)[nn] - query@W.
+    src (B, N, Cin), W (Cin, D), h (B, M, D), nn_idx (B, M, K) int32
+    (-1 = hole) -> (vmax (B,M,D), vmin (B,M,D), total (D,) f32,
+    total_sq (D,) f32) for x = (src@W)[nn] - h.
 
-    IMPORTANT: ``src`` and ``query`` receive ZERO cotangents (they are data
-    in every reference config); only ``W`` gets a gradient. Callers should
-    ``stop_gradient`` src/query to make that explicit.
+    IMPORTANT: ``src`` receives a ZERO cotangent — this boundary is only
+    valid when the per-point source rows are pure data (pre_sample paths,
+    frozen backbones); callers should ``stop_gradient`` src to make that
+    explicit. ``W`` gets the factorized dW (no dense dg scatter) and ``h``
+    a closed-form dh, so the caller's own ``h = query @ W`` projection
+    picks up the query-side dW under ordinary autodiff. Use
+    ``grouped_stats_core`` when the source features are learned.
     """
-    return _BUILDERS[impl](src, query, W, nn_idx)
+    return _BUILDERS[impl](src, W, h, nn_idx)

@@ -23,7 +23,7 @@ if "cpu" in sys.argv[1:]:  # the sandbox pins JAX_PLATFORMS to the TPU tunnel
 import jax.numpy as jnp
 
 from pointcloudmatters_tpu.ops.fused_builder import (
-    grouped_builder_stats, _builder_fwd_impl,
+    grouped_stats_data, _builder_fwd_impl,
 )
 
 SMALL = "small" in sys.argv[1:]
@@ -98,7 +98,10 @@ def main():
     impl = "pallas" if on_tpu else "xla"
     print(f"impl={impl} B={B} N={N} M={M} K={K} D={D}", flush=True)
 
-    fused_f = jax.jit(functools.partial(grouped_builder_stats, impl=impl))
+    def fused_call(src, query, W, nn_idx, impl=impl):
+        return grouped_stats_data(src, W, query @ W, nn_idx, impl=impl)
+
+    fused_f = jax.jit(fused_call)
     ref_f = jax.jit(unfused)
 
     out_f = fused_f(src, query, W, nn_idx)
@@ -134,7 +137,7 @@ def main():
     print(f"dW vs unfused autodiff rel err: {np.abs(a - b).max() / sc:.4f} "
           f"(|ref|max={np.abs(b).max():.3f})", flush=True)
     if impl == "pallas":
-        xla_f = jax.jit(functools.partial(grouped_builder_stats, impl="xla"))
+        xla_f = jax.jit(functools.partial(fused_call, impl="xla"))
 
         def loss_xla(W):
             return scalarize(xla_f(src, query, W, nn_idx), cvec)

@@ -1,9 +1,8 @@
 """ops/fused_mha.py TPU tests — one-kernel layer-attention forward.
 
-Kept OUT of bench.py's pre-timing gate (tests/test_pallas_kernels.py,
-tests/test_flash_attention.py) deliberately: the fused backend is opt-in
-(attention_impl="fused") and its kernels are not in the benchmarked training
-path, so a compile hiccup here must not abort the throughput bench.
+Part of bench.py's pre-timing gate since round 5: every kernel the step can
+route through (including the opt-in attention_impl="fused" backend) is
+verified on-chip before a throughput number is recorded.
 Run: PCM_TEST_TPU=1 python -m pytest tests/test_fused_mha_tpu.py
 """
 
