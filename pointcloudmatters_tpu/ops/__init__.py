@@ -16,6 +16,8 @@ L=2051, d_head=64; see PERF.md for the full step budget):
 | attention (long L) | flash streaming (`flash_attention.py`, vendored JAX) | `attention_impl="flash"` | L >~ 8k (whole key row no longer fits VMEM) | 43.9 ms/layer at L=2051 (loses to oneshot there) |
 | attention (decoder cross, nq=100) | XLA dense | `TransformerDecoderLayer.attention_impl="dense"` (default) | tiny query side: padding to kernel tiles costs more than it saves | 5.4 ms vs 7.0 oneshot |
 | attention (CVAE posterior, L=102) | XLA dense | automatic (`min_seq_len` in `ops/attention.py`) | short sequences | — |
+| token builder (data sources) | **fused window-gather + scatter-free bwd** (`fused_builder.py`) | automatic for `pre_sample`/frozen-backbone call sites on TPU+bf16; `PCM_BUILDER_IMPL=xla\|fused` overrides | source rows need no gradient -> the dense-dg scatter disappears from the backward | 58.2 vs 71.1 ms chain fwd+bwd (flagship shape) |
+| token builder (learned features) | XLA gather chain (`nn_utils.GroupedBNReluMax` default) | automatic | trainable per-point features: the dg scatter is the floor and autodiff already sits on it (PERF.md round 5) | 71.1 ms (fused core variant measured 116.4) |
 
 Unknown `PCM_KNN_IMPL` / `attention_impl` values raise instead of silently
 selecting a backend. All Pallas kernels fall back to the XLA formulations

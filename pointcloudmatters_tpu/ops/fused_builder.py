@@ -110,88 +110,97 @@ def fused_builder_supported(n: int, m: int, k: int, d: int) -> bool:
 # Forward kernel
 # ---------------------------------------------------------------------------
 def _fwd_kernel(idx_ref, ht_ref, gp_ref, vmax_ref, vmin_ref, sg_ref, bm_ref,
-                sums_ref, G_ref, *, K: int, D: int):
+                sums_ref, G_ref, *, K: int, D: int, SB: int):
     m = pl.program_id(1)
 
     @pl.when(m == 0)
     def _init():
         sums_ref[...] = jnp.zeros_like(sums_ref)
 
-    idx = idx_ref[0]  # (K, 128) int32, -1 = hole
-    hole = idx < 0
-    G_ref[...] = jnp.zeros_like(G_ref)  # holes stay exact zero (sg needs it)
+    tot_acc = jnp.zeros((D, _LANES), jnp.float32)
+    tot2_acc = jnp.zeros((D, _LANES), jnp.float32)
 
-    # One shared min-anchored loop over the union of chunks the block's
-    # K*128 indices touch; per (tile, visit) the merge is a write-only
-    # MASKED store (each lane is written exactly once — by its own chunk's
-    # visit), not a VMEM read-modify-write: the on-chip microbench
-    # (scripts/bench_taa_prims.py) shows the loop iteration and the gather
-    # itself are ~100 cycles while a read-select-write merge triples that.
-    def cond(carry):
-        return carry[0] < _BIG
+    # SB statically-unrolled 128-query sub-blocks per grid step: fewer
+    # pipeline steps amortize the per-step block I/O overhead.
+    for sb in range(SB):
+        lo = sb * _LANES
+        idx = idx_ref[0][:, lo:lo + _LANES]  # (K, 128) int32, -1 = hole
+        hole = idx < 0
+        G_ref[...] = jnp.zeros_like(G_ref)  # holes stay zero (sg needs it)
 
-    def body(carry):
-        c, st = carry
-        win = gp_ref[0, c]  # (D, 128) f32 (bf16-exact values)
-        base = c * _LANES
+        # One shared min-anchored loop over the union of chunks this
+        # sub-block's K*128 indices touch; per (tile, visit) the merge is a
+        # write-only MASKED store (each lane is written exactly once — by
+        # its own chunk's visit), not a VMEM read-modify-write
+        # (scripts/bench_taa_prims.py).
+        def cond(carry):
+            return carry[0] < _BIG
+
+        def body(carry, idx=idx):
+            c, st = carry
+            win = gp_ref[0, c]  # (D, 128) f32 (bf16-exact values)
+            base = c * _LANES
+            for k in range(K):
+                row = idx[k:k + 1]  # (1, 128)
+                rel = jnp.clip(row - base, 0, _LANES - 1)
+                inw = (row >> 7) == c
+                got = jnp.take_along_axis(
+                    win, jnp.broadcast_to(rel, (D, _LANES)), axis=1
+                )
+                pltpu.store(
+                    G_ref.at[k], got,
+                    mask=jnp.broadcast_to(inw, (D, _LANES)),
+                )
+            st = jnp.where(st == c, _BIG, st)
+            return (jnp.min(st), st)
+
+        st0 = jnp.where(hole, _BIG, idx >> 7)
+        lax.while_loop(cond, body, (jnp.min(st0), st0))
+
+        # g/h arrive as f32 holding exactly-bf16 values (rounded before the
+        # MXU chunk-transpose), so the bf16 casts below are lossless and
+        # the bf16 subtract reproduces the unfused path bit-for-bit.
+        h = ht_ref[0, sb].astype(jnp.bfloat16)  # (D, 128)
+        neg = jnp.asarray(-jnp.inf, jnp.bfloat16)
+        pos = jnp.asarray(jnp.inf, jnp.bfloat16)
+        vmax = jnp.full((D, _LANES), neg)
+        vmin = jnp.full((D, _LANES), pos)
+        sg = jnp.zeros((D, _LANES), jnp.float32)
+        tot = jnp.zeros((D, _LANES), jnp.float32)
+        tot2 = jnp.zeros((D, _LANES), jnp.float32)
+        xks = []
         for k in range(K):
-            row = idx[k:k + 1]  # (1, 128)
-            rel = jnp.clip(row - base, 0, _LANES - 1)
-            inw = (row >> 7) == c
-            got = jnp.take_along_axis(
-                win, jnp.broadcast_to(rel, (D, _LANES)), axis=1
-            )
-            pltpu.store(
-                G_ref.at[k], got,
-                mask=jnp.broadcast_to(inw, (D, _LANES)),
-            )
-        st = jnp.where(st == c, _BIG, st)
-        return (jnp.min(st), st)
+            gk = G_ref[k].astype(jnp.bfloat16)  # (D, 128), lossless
+            xk = gk - h
+            xks.append(xk)
+            hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
+            vmax = jnp.maximum(vmax, jnp.where(hk, neg, xk))
+            vmin = jnp.minimum(vmin, jnp.where(hk, pos, xk))
+            sg = sg + G_ref[k]
+            xz = jnp.where(hk, jnp.bfloat16(0), xk).astype(jnp.float32)
+            tot = tot + xz
+            tot2 = tot2 + xz * xz
+        bm = jnp.zeros((D, _LANES), jnp.int32)
+        vmax32 = vmax.astype(jnp.float32)  # bf16 cmp miscompiles in the
+        vmin32 = vmin.astype(jnp.float32)  # 2-packed layout; f32 eq exact
+        for k in range(K):
+            xk32 = xks[k].astype(jnp.float32)
+            hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
+            live = jnp.logical_not(hk)
+            bit_max = jnp.int32(1) << jnp.int32(k)
+            bit_min = jnp.int32(1) << jnp.int32(k + 16)  # k=15 -> sign bit
+            bm = bm + jnp.where(live & (xk32 == vmax32), bit_max, 0)
+            bm = bm + jnp.where(live & (xk32 == vmin32), bit_min, 0)
 
-    st0 = jnp.where(hole, _BIG, idx >> 7)
-    lax.while_loop(cond, body, (jnp.min(st0), st0))
+        vmax_ref[0, :, lo:lo + _LANES] = vmax
+        vmin_ref[0, :, lo:lo + _LANES] = vmin
+        sg_ref[0, :, lo:lo + _LANES] = sg.astype(jnp.bfloat16)
+        bm_ref[0, :, lo:lo + _LANES] = bm
+        tot_acc = tot_acc + tot
+        tot2_acc = tot2_acc + tot2
 
-    # g/h arrive as f32 holding exactly-bf16 values (rounded before the
-    # MXU chunk-transpose), so the bf16 casts below are lossless and the
-    # bf16 subtract reproduces the unfused path bit-for-bit.
-    h = ht_ref[0, 0].astype(jnp.bfloat16)  # (D, 128)
-    neg = jnp.asarray(-jnp.inf, jnp.bfloat16)
-    pos = jnp.asarray(jnp.inf, jnp.bfloat16)
-    vmax = jnp.full((D, _LANES), neg)
-    vmin = jnp.full((D, _LANES), pos)
-    sg = jnp.zeros((D, _LANES), jnp.float32)
-    tot = jnp.zeros((D, _LANES), jnp.float32)
-    tot2 = jnp.zeros((D, _LANES), jnp.float32)
-    xks = []
-    for k in range(K):
-        gk = G_ref[k].astype(jnp.bfloat16)  # (D, 128), lossless
-        xk = gk - h
-        xks.append(xk)
-        hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
-        vmax = jnp.maximum(vmax, jnp.where(hk, neg, xk))
-        vmin = jnp.minimum(vmin, jnp.where(hk, pos, xk))
-        sg = sg + G_ref[k]
-        xz = jnp.where(hk, jnp.bfloat16(0), xk).astype(jnp.float32)
-        tot = tot + xz
-        tot2 = tot2 + xz * xz
-    bm = jnp.zeros((D, _LANES), jnp.int32)
-    vmax32 = vmax.astype(jnp.float32)  # bf16 cmp miscompiles in the 2-packed
-    vmin32 = vmin.astype(jnp.float32)  # layout; f32 eq is exact
-    for k in range(K):
-        xk32 = xks[k].astype(jnp.float32)
-        hk = jnp.broadcast_to(hole[k:k + 1], (D, _LANES))
-        live = jnp.logical_not(hk)
-        bit_max = jnp.int32(1) << jnp.int32(k)
-        bit_min = jnp.int32(1) << jnp.int32(k + 16)  # k=15 wraps to sign bit
-        bm = bm + jnp.where(live & (xk32 == vmax32), bit_max, 0)
-        bm = bm + jnp.where(live & (xk32 == vmin32), bit_min, 0)
-
-    vmax_ref[0] = vmax
-    vmin_ref[0] = vmin
-    sg_ref[0] = sg.astype(jnp.bfloat16)
-    bm_ref[0] = bm
-    sums_ref[0, 0] = sums_ref[0, 0] + tot
-    sums_ref[0, 1] = sums_ref[0, 1] + tot2
+    sums_ref[0, 0] = sums_ref[0, 0] + tot_acc
+    sums_ref[0, 1] = sums_ref[0, 1] + tot2_acc
 
 
 def _chunk_transpose(x: jax.Array) -> jax.Array:
@@ -224,23 +233,29 @@ def _core_pallas(g, h_s, nn_s):
     ht = _chunk_transpose(h_s.astype(jnp.bfloat16))  # (B, M/128, D, 128) f32
     nn_t = nn_s.transpose(0, 2, 1)  # (B, K, M)
 
-    grid = (B, M // _LANES)
-    kernel = functools.partial(_fwd_kernel, K=K, D=D)
+    import os
+
+    SB = int(os.environ.get("PCM_BUILDER_SB", "1"))
+    while M % (SB * _LANES):
+        SB //= 2
+    lanes_blk = SB * _LANES
+    grid = (B, M // lanes_blk)
+    kernel = functools.partial(_fwd_kernel, K=K, D=D, SB=SB)
     vmax_t, vmin_t, sg_t, bm_t, sums = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, K, _LANES), lambda b, m: (b, 0, m)),
-            pl.BlockSpec((1, 1, D, _LANES), lambda b, m: (b, m, 0, 0)),
+            pl.BlockSpec((1, K, lanes_blk), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, SB, D, _LANES), lambda b, m: (b, m, 0, 0)),
             pl.BlockSpec(
                 (1, gp.shape[1], D, _LANES), lambda b, m: (b, 0, 0, 0)
             ),
         ],
         out_specs=[
-            pl.BlockSpec((1, D, _LANES), lambda b, m: (b, 0, m)),
-            pl.BlockSpec((1, D, _LANES), lambda b, m: (b, 0, m)),
-            pl.BlockSpec((1, D, _LANES), lambda b, m: (b, 0, m)),
-            pl.BlockSpec((1, D, _LANES), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, D, lanes_blk), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, D, lanes_blk), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, D, lanes_blk), lambda b, m: (b, 0, m)),
+            pl.BlockSpec((1, D, lanes_blk), lambda b, m: (b, 0, m)),
             pl.BlockSpec((1, 2, D, _LANES), lambda b, m: (b, 0, 0, 0)),
         ],
         out_shape=[
