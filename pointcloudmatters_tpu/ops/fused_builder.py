@@ -50,12 +50,12 @@ Backward design (scatter-free):
     dx[m,k,d] = tie_max/cnt_max * dvmax + tie_min/cnt_min * dvmin
               + nonhole * (d_total[d] + 2 * x[m,k,d] * d_total_sq[d])
 
-    dW = sum_{m,k} src[nn[m,k]] (x) dx[m,k,:]  -  sum_m query[m] (x) sum_k dx
-       = [routed term: small Pallas kernel over tie bitmaps]             (1)
+    dW = [routed term: small Pallas kernel over tie bitmaps]             (1)
        + 2 * sum_n r_n src[n] (x) (g[n] * d_total_sq)                    (2)
        - 2 * sum_m s_m (x) (h[m] * d_total_sq)                           (3)
        + (sum_{m,k} src[nn]) (x) d_total                                 (4)
-       + sum_m query[m] (x) dh[m]                                        (5)
+    plus a closed-form dh cotangent, so the caller's own h = query @ W
+    projection picks up the query-side dW under ordinary autodiff.
 
   where r_n is the index multiplicity histogram, s_m = sum_k src[nn[m,k]]
   (a K-sum of 9-dim rows), and dh is a closed-form elementwise expression
@@ -68,9 +68,12 @@ Backward design (scatter-free):
   covers the reference's repeated-neighbor padding quirk.
 
 ``grouped_stats_data`` wraps all of this in a ``jax.custom_vjp`` whose
-``src``/``query`` cotangents are defined as zero — call sites must treat
-them as data (the ACT/DP call sites apply ``stop_gradient``; coords and
-features are dataset tensors in every reference config).
+``src`` cotangent is defined as zero — call sites must treat the source
+rows as data (the ACT/DP call sites apply ``stop_gradient``; they route
+here only for ``pre_sample`` clouds and frozen backbones).
+``grouped_stats_core`` is the learned-feature variant with a real dense
+``dg`` — correct but measured slower than XLA autodiff of the unfused
+chain (see PERF.md), so it stays opt-in.
 """
 
 from __future__ import annotations
